@@ -1,0 +1,296 @@
+"""Frame-graph runtime: passes as functions, frames as jitted dataflow.
+
+Rebuild of the reference's core (utopian/src/graph.rs + pass.rs), redesigned
+for XLA (SURVEY.md §7.1):
+
+- The reference rebuilds its render graph every frame over name-cached
+  resources (graph.rs:36-44, prototype/src/main.rs:487-517). Here the graph is
+  likewise rebuilt per frame in cheap Python; execution compiles the whole
+  pass list into ONE jitted XLA computation, cached by the graph's structural
+  signature — re-recording is free after the first frame, exactly like the
+  reference's desc-equality caches make pipeline creation free.
+- Vulkan barriers (graph.rs:743-856) vanish: pass reads/writes become SSA
+  dataflow through a resource dict threaded pass to pass.
+- Persistent resources (accumulation image, ReSTIR reservoirs — the
+  reference's never-freed GraphResources) live in `Graph.state` and are
+  carried across frames; written names listed in `persist` update it.
+- Shader hot reload (graph.rs:673-701, pipeline.rs:109-121): `recompile()`
+  bumps a generation counter so the next render re-traces with the swapped
+  kernel functions; a failed trace/compile logs and KEEPS the previous
+  executable, mirroring the reference's compile-failure tolerance.
+
+Pass API parity: `PassBuilder` mirrors graph.rs:120-416 (`read`, `write`,
+`uniforms`, `render`, `dispatch`...); pass functions receive a resource dict
+plus (scene, view, uniforms) and return their writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+TextureId = str
+BufferId = str
+
+
+@dataclasses.dataclass
+class ResourceDesc:
+    """Named resource descriptor (graph.rs:563-619 texture/buffer descs).
+    Cached by (name, shape, dtype) equality; `clear` is the initial value."""
+
+    name: str
+    shape: tuple[int, ...]
+    dtype: Any
+    clear: float | int = 0.0
+
+    def allocate(self) -> jax.Array:
+        return jnp.full(self.shape, self.clear, self.dtype)
+
+
+@dataclasses.dataclass
+class RenderPass:
+    """One recorded pass (pass.rs:14-30): reads/writes by name + kernel fn."""
+
+    name: str
+    reads: list[str]
+    writes: list[str]
+    uniforms: dict[str, Any]
+    fn: Callable  # fn(resources: dict, scene, view, uniforms) -> dict of writes
+    fn_key: Any  # structural identity for the jit cache
+
+
+class PassBuilder:
+    """Fluent pass construction (graph.rs:120-416)."""
+
+    def __init__(self, graph: "Graph", name: str):
+        self._graph = graph
+        self._name = name
+        self._reads: list[str] = []
+        self._writes: list[str] = []
+        self._uniforms: dict[str, Any] = {}
+        self._fn: Callable | None = None
+
+    def read(self, resource: str) -> "PassBuilder":
+        self._reads.append(resource)
+        return self
+
+    def write(self, resource: str) -> "PassBuilder":
+        self._writes.append(resource)
+        return self
+
+    # Aliases mirroring the reference's specialized write kinds
+    # (graph.rs:146-208); dataflow makes them equivalent here.
+    image_write = write
+    write_buffer = write
+    load_write = write
+
+    def read_buffer(self, resource: str) -> "PassBuilder":
+        return self.read(resource)
+
+    def uniforms(self, name: str, value: Any) -> "PassBuilder":
+        """Per-pass uniform data (graph.rs:307-340); becomes a traced pytree
+        argument of the frame function."""
+        self._uniforms[name] = value
+        return self
+
+    def render(self, fn: Callable) -> "PassBuilder":
+        """The pass body (graph.rs:213-221). fn(resources, scene, view,
+        uniforms) -> dict {written_name: array}."""
+        self._fn = fn
+        return self
+
+    dispatch = render
+    trace_rays = render
+
+    def presentation_pass(self, *_args, **_kw) -> "PassBuilder":
+        return self
+
+    def build(self) -> None:
+        """Record into the graph (graph.rs:342-415)."""
+        assert self._fn is not None, f"pass '{self._name}' has no render fn"
+        fn = self._fn
+        self._graph.passes.append(
+            RenderPass(
+                name=self._name,
+                reads=self._reads,
+                writes=self._writes,
+                uniforms=self._uniforms,
+                fn=fn,
+                fn_key=(getattr(fn, "__module__", "?"), getattr(fn, "__qualname__", repr(fn))),
+            )
+        )
+
+
+class Graph:
+    """The frame graph (graph.rs:99-106 + 440-1065)."""
+
+    def __init__(self) -> None:
+        self.passes: list[RenderPass] = []
+        self.descs: dict[str, ResourceDesc] = {}
+        self.persist: set[str] = set()
+        self.state: dict[str, jax.Array] = {}
+        self._compiled: dict[Any, Callable] = {}
+        self._last_good: Callable | None = None
+        self._generation = 0
+        self.current_frame = 0
+
+    # -- per-frame recording (graph.rs:459-484) -----------------------------
+
+    def new_frame(self) -> None:
+        self.current_frame += 1
+
+    def clear(self) -> None:
+        self.passes = []
+
+    # -- resources (graph.rs:563-635) ---------------------------------------
+
+    def create_texture(
+        self, name: str, width: int, height: int, channels: int = 4,
+        dtype=jnp.float32, clear: float = 0.0, persistent: bool = False,
+    ) -> TextureId:
+        """Name-keyed texture cache (graph.rs:563-587). (H, W, C) layout."""
+        shape = (height, width, channels) if channels > 1 else (height, width)
+        return self._declare(name, shape, dtype, clear, persistent)
+
+    def create_buffer(
+        self, name: str, shape: tuple[int, ...], dtype=jnp.float32,
+        clear: float = 0.0, persistent: bool = False,
+    ) -> BufferId:
+        """graph.rs:593-619."""
+        return self._declare(name, tuple(shape), dtype, clear, persistent)
+
+    def _declare(self, name, shape, dtype, clear, persistent) -> str:
+        desc = ResourceDesc(name, tuple(shape), dtype, clear)
+        old = self.descs.get(name)
+        if old is not None and (old.shape != desc.shape or old.dtype != desc.dtype):
+            # Resolution change etc.: drop the cached resource (the reference
+            # never frees, but it also never resizes; we handle it).
+            self.state.pop(name, None)
+        self.descs[name] = desc
+        if persistent:
+            self.persist.add(name)
+            if name not in self.state:
+                self.state[name] = desc.allocate()
+        return name
+
+    def add_pass(self, name: str) -> PassBuilder:
+        """graph.rs:534-557 (add_pass_from_desc); pipeline descs are implicit
+        in the pass fn (kernels are code, not SPIR-V)."""
+        return PassBuilder(self, name)
+
+    # -- hot reload (graph.rs:673-701) --------------------------------------
+
+    def recompile(self) -> None:
+        """Invalidate compiled frames; next render re-traces with whatever
+        kernel functions the builders now reference. The previous executable
+        is kept as fallback (pipeline.rs:109-121 semantics)."""
+        self._generation += 1
+
+    def recompile_shader(self, module_name: str) -> bool:
+        """Reload one kernel module by name and invalidate (the analog of
+        per-path shader recompile, graph.rs:683-701). Returns success."""
+        import importlib
+        import sys
+
+        mod = sys.modules.get(module_name)
+        if mod is None:
+            log.warning("recompile_shader: module %s not loaded", module_name)
+            return False
+        try:
+            importlib.reload(mod)
+        except Exception:  # keep old module on failure
+            log.exception("recompile_shader: reload of %s failed; keeping old", module_name)
+            return False
+        self.recompile()
+        return True
+
+    def recompile_all_shaders(self) -> None:
+        import importlib
+        import sys
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("rust_renderer_tpu.ops") or name.startswith(
+                "rust_renderer_tpu.renderers"
+            ):
+                try:
+                    importlib.reload(mod)
+                except Exception:
+                    log.exception("reload of %s failed; keeping old", name)
+        self.recompile()
+
+    # -- execution (graph.rs:637-671 prepare + 703-1065 render) -------------
+
+    def _signature(self) -> Any:
+        """Structural cache key: pass list + resource descs + generation.
+        The analog of the reference's desc-equality pipeline cache."""
+        return (
+            self._generation,
+            tuple(
+                (p.name, p.fn_key, tuple(p.reads), tuple(p.writes), tuple(p.uniforms))
+                for p in self.passes
+            ),
+            tuple(sorted((d.name, d.shape, str(d.dtype)) for d in self.descs.values())),
+            tuple(sorted(self.persist)),
+        )
+
+    def prepare(self) -> None:
+        """Allocate any missing persistent resources (the lazy part of
+        graph.rs:637-671; transient resources materialize inside the jit)."""
+        for name in self.persist:
+            if name not in self.state:
+                self.state[name] = self.descs[name].allocate()
+
+    def render(self, scene, view) -> dict[str, jax.Array]:
+        """Execute the frame: one jitted computation over all passes.
+
+        Returns the full resource dict after the frame (read e.g.
+        'present_output'); persistent resources in `Graph.state` are updated
+        in place for the next frame.
+        """
+        self.prepare()
+        key = self._signature()
+        passes = list(self.passes)
+        descs = dict(self.descs)
+        persist = set(self.persist)
+
+        if key not in self._compiled:
+
+            def frame_fn(state: dict, scene, view, uniforms: list[dict]):
+                resources = dict(state)
+                # Transient resources materialize on first use; declared
+                # clears behave like the reference's attachment clears.
+                for name, desc in descs.items():
+                    if name not in resources:
+                        resources[name] = desc.allocate()
+                for p, u in zip(passes, uniforms):
+                    outs = p.fn(resources, scene, view, u)
+                    if outs:
+                        for wname, arr in outs.items():
+                            resources[wname] = arr
+                new_state = {n: resources[n] for n in persist if n in resources}
+                return resources, new_state
+
+            self._compiled[key] = jax.jit(frame_fn)
+
+        uniforms = [p.uniforms for p in passes]
+        fn = self._compiled[key]
+        try:
+            resources, new_state = fn(self.state, scene, view, uniforms)
+            self._last_good = fn
+        except Exception:
+            if self._last_good is None:
+                raise
+            # Hot-reload produced a broken kernel: keep the old executable
+            # (pipeline.rs:109-121).
+            log.exception("frame compile/execute failed; reusing previous pipeline")
+            self._compiled[key] = self._last_good
+            resources, new_state = self._last_good(self.state, scene, view, uniforms)
+        self.state.update(new_state)
+        return resources

@@ -1,0 +1,194 @@
+"""Reference path tracer: the RTIOW-style megakernel, rebuilt as a wavefront.
+
+Behavioral rebuild of pathtrace_reference/reference.rgen + .rchit + .rmiss:
+per-pixel PCG streams seeded by (pixel, total_samples + time*10000)
+(reference.rgen:24), jittered pinhole rays (:30-38), a bounce loop with
+throughput accumulation (:42-126), NEE for the sun (:63-79) and analytic point
+lights with uniform / fresh-RIS / reservoir sampling incl. the split-screen
+A/B mode (:80-125), and the progressive accumulation protocol with
+`accumulation_limit` and linear->sRGB output (:130-144).
+
+TPU-native shape: one jitted function over whole (H, W) arrays. The GPU
+megakernel's per-thread bounce loop becomes a statically unrolled wavefront —
+every bounce intersects the full (still-active) pixel front; masks replace
+thread divergence. Intersection is pluggable (brute force or BVH).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rust_renderer_tpu.ops import atmosphere, intersect, materials
+from rust_renderer_tpu.ops import rays as rayops
+from rust_renderer_tpu.ops import restir as restirops
+from rust_renderer_tpu.ops import rng as rngmod
+from rust_renderer_tpu.ops.colors import linear_to_srgb
+
+
+class PathTraceResult(NamedTuple):
+    output: jax.Array  # (H, W, 3) f32 sRGB — the reference's output_image
+    accumulation: jax.Array  # (H, W, 3) f32 linear — accumulation_image
+
+
+def _nee_sun(scene, view, any_hit, origin, direction_unused, throughput, active, radiance):
+    """Sun NEE (reference.rgen:63-79): binary visibility, adds throughput."""
+    sun_dir = rayops.normalize(view.sun_dir)
+    occluded = any_hit(scene, origin, jnp.broadcast_to(sun_dir, origin.shape))
+    visible = jnp.logical_and(active, jnp.logical_not(occluded))
+    add = jnp.where(
+        jnp.logical_and(visible, view.sun_shadow_enabled == 1)[..., None], throughput, 0.0
+    )
+    return radiance + add
+
+
+def _nee_lights(scene, view, closest_hit, rng_state, origin, throughput, active,
+                radiance, reservoirs, px, full_width):
+    """Point-light NEE (reference.rgen:80-125)."""
+    shape = rng_state.shape
+
+    # Reservoir path applies on the right half when RIS sampling is on
+    # (reference.rgen:86-103; the inner 'fresh resample' branch is dead code
+    # there — the right half always reads the reservoir buffer).
+    use_reservoir = jnp.logical_and(
+        px > full_width // 2, view.use_ris_light_sampling == 1
+    )
+
+    rng_state, uni_idx, uni_pdf = restirops.sample_light_uniform(
+        rng_state, view.num_lights, view.max_num_lights_used
+    )
+    uni_weight = 1.0 / uni_pdf
+
+    if reservoirs is not None:
+        res_idx = reservoirs.Y
+        res_weight = reservoirs.W_X
+        total_weights = jnp.where(use_reservoir, reservoirs.W_sum, 1.0)
+        light_index = jnp.where(use_reservoir, res_idx, uni_idx)
+        light_weight = jnp.where(use_reservoir, res_weight, uni_weight)
+    else:
+        total_weights = jnp.ones(shape, jnp.float32)
+        light_index = uni_idx
+        light_weight = uni_weight
+
+    valid = jnp.logical_and(total_weights != 0.0, light_index >= 0)
+    safe_index = jnp.clip(light_index, 0, scene.light_pos.shape[0] - 1)
+    light_pos = scene.light_pos[safe_index]
+    to_light = light_pos - origin
+    distance_to_light = jnp.linalg.norm(to_light, axis=-1)
+    light_dir = to_light / jnp.maximum(distance_to_light, 1e-12)[..., None]
+
+    hit = closest_hit(scene, origin, light_dir)
+    unoccluded = jnp.logical_or(hit.t > distance_to_light, jnp.logical_not(hit.is_hit))
+
+    p_hat = restirops.target_function(scene, light_index, origin)
+    contrib = (p_hat * light_weight)[..., None] * throughput
+    take = jnp.logical_and(
+        jnp.logical_and(active, valid),
+        jnp.logical_and(unoccluded, view.lights_enabled == 1),
+    )
+    return rng_state, radiance + jnp.where(take[..., None], contrib, 0.0)
+
+
+def path_trace(
+    scene,
+    view,
+    cfg,
+    accumulation: jax.Array,
+    reservoirs: restirops.Reservoir | None = None,
+    closest_hit: Callable = intersect.closest_hit_bruteforce,
+    any_hit: Callable | None = None,
+    row_offset: jax.Array | int = 0,
+    full_size: tuple[int, int] | None = None,
+) -> PathTraceResult:
+    """One frame of the reference path tracer over the full image.
+
+    accumulation: (H, W, 3) f32 linear accumulation from the previous frame.
+    reservoirs: spatial-reuse output for ReSTIR NEE (None = uniform only).
+    row_offset / full_size: for image-tile sharding over a device mesh —
+    `accumulation` is this device's row tile; camera mapping and RNG seeds use
+    global pixel coordinates so the sharded render is bit-identical to the
+    single-chip one (SURVEY.md §5.7).
+    """
+    if any_hit is None:
+        any_hit = lambda s, o, d: closest_hit(s, o, d).is_hit
+
+    height, width = accumulation.shape[:2]
+    full_height, full_width = full_size if full_size is not None else (height, width)
+    py = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0) + row_offset
+    px = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    frame = (view.total_samples.astype(jnp.float32) + view.time * 10000.0).astype(jnp.int32)
+    rng_state = rngmod.init_rng(px, py, full_width, frame)
+
+    pixel_color = jnp.zeros((height, width, 3), jnp.float32)
+
+    for _s in range(cfg.samples_per_frame):
+        rng_state, jx = rngmod.random_float(rng_state)
+        rng_state, jy = rngmod.random_float(rng_state)
+        origin, direction = rayops.generate_camera_rays(
+            view.inverse_view,
+            view.inverse_projection,
+            px.astype(jnp.float32) + jx,
+            py.astype(jnp.float32) + jy,
+            full_width,
+            full_height,
+        )
+
+        radiance = jnp.zeros((height, width, 3), jnp.float32)
+        throughput = jnp.ones((height, width, 3), jnp.float32)
+        active = jnp.ones((height, width), bool)
+
+        for _b in range(cfg.num_bounces):
+            hit = closest_hit(scene, origin, direction)
+            missed = jnp.logical_not(hit.is_hit)
+
+            # Miss shader (reference.rmiss): atmosphere sky, clamped.
+            sky = atmosphere.sky_radiance(
+                origin, rayops.normalize(direction), rayops.normalize(view.sun_dir),
+                view.sky_enabled,
+            )
+
+            surf = intersect.surface_at_hit(scene, hit, origin, direction)
+            rng_state, sc = materials.scatter(
+                scene, surf.material, direction, surf.normal, surf.uv, rng_state
+            )
+
+            hit_color = jnp.where(missed[..., None], sky, sc.color)
+            throughput = jnp.where(active[..., None], throughput * hit_color, throughput)
+
+            # Sky or absorbed (diffuse light): terminate adding throughput
+            # (reference.rgen:52-57).
+            terminated = jnp.logical_and(
+                active, jnp.logical_or(missed, jnp.logical_not(sc.is_scattered))
+            )
+            radiance = radiance + jnp.where(terminated[..., None], throughput, 0.0)
+            active = jnp.logical_and(active, jnp.logical_not(terminated))
+
+            # Advance ray (reference.rgen:59-61).
+            new_origin = rayops.offset_ray(surf.position, surf.normal)
+            origin = jnp.where(active[..., None], new_origin, origin)
+            direction = jnp.where(active[..., None], sc.direction, direction)
+
+            # NEE at the new origin (reference.rgen:63-125).
+            radiance = _nee_sun(
+                scene, view, any_hit, origin, direction, throughput, active, radiance
+            )
+            rng_state, radiance = _nee_lights(
+                scene, view, closest_hit, rng_state, origin, throughput, active,
+                radiance, reservoirs, px, full_width,
+            )
+
+        pixel_color = pixel_color + radiance
+
+    # Progressive accumulation (reference.rgen:130-144).
+    spf = jnp.uint32(cfg.samples_per_frame)
+    first_frame = view.total_samples == spf
+    accumulated = jnp.where(first_frame, 0.0, accumulation)
+    limit = view.accumulation_limit.astype(jnp.uint32)
+    within = view.total_samples <= limit
+    accumulated = jnp.where(within, accumulated + pixel_color, accumulated)
+    denom = jnp.minimum(view.total_samples, limit).astype(jnp.float32)
+    out = accumulated / jnp.maximum(denom, 1.0)
+    out = linear_to_srgb(out)
+    return PathTraceResult(output=out, accumulation=accumulated)

@@ -1,0 +1,250 @@
+"""ReSTIR / RIS light sampling over analytic point lights.
+
+Rebuild of utopian/shaders/include/restir_sampling.glsl and the three ReSTIR
+passes (restir/initial_ris.rgen, temporal_reuse.rgen, spatial_reuse.rgen):
+
+- target function p_hat = luminance(intensity / d^2) (restir_sampling.glsl:59-69)
+- uniform light proposal over min(num_lights, max_num_lights_used) (:71-77)
+- weighted reservoir update (:85-93) and 32-candidate RIS (:96-130)
+- W_X finalization W_X = (1/p_hat) * W_sum / M (:79-82)
+- temporal reuse with backprojection + 20x M-clamp (temporal_reuse.rgen:86-115)
+- spatial reuse over 5 random neighbors in a 30px radius (spatial_reuse.rgen:50-66)
+
+Reservoirs are SoA image-planes (H,W) — the TPU analog of the reference's
+W*H*16-byte reservoir SSBOs (renderers/mod.rs:222-244).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rust_renderer_tpu.ops import rng as rngmod
+from rust_renderer_tpu.ops.colors import luminance
+
+
+class Reservoir(NamedTuple):
+    Y: jax.Array  # (...,) i32 selected light index (-1 = none)
+    W_sum: jax.Array  # (...,) f32
+    W_X: jax.Array  # (...,) f32 unbiased contribution weight
+    M: jax.Array  # (...,) i32 sample count
+
+    @staticmethod
+    def empty(shape) -> "Reservoir":
+        return Reservoir(
+            Y=jnp.full(shape, -1, jnp.int32),
+            W_sum=jnp.zeros(shape, jnp.float32),
+            W_X=jnp.zeros(shape, jnp.float32),
+            M=jnp.zeros(shape, jnp.int32),
+        )
+
+
+def get_light_intensity(scene, light_index: jax.Array, distance: jax.Array) -> jax.Array:
+    """intensity / d^2 (restir_sampling.glsl:59-62). Returns (...,3)."""
+    intensity = scene.light_intensity[light_index]
+    return intensity / jnp.maximum(distance * distance, 1e-12)[..., None]
+
+
+def target_function(scene, light_index: jax.Array, hit_position: jax.Array) -> jax.Array:
+    """p_hat (restir_sampling.glsl:64-69); safe for light_index == -1 (-> 0)."""
+    idx = jnp.clip(light_index, 0, scene.light_pos.shape[0] - 1)
+    lp = scene.light_pos[idx]
+    d = jnp.linalg.norm(lp - hit_position, axis=-1)
+    p_hat = luminance(get_light_intensity(scene, idx, d))
+    return jnp.where(light_index < 0, 0.0, p_hat)
+
+
+def sample_light_uniform(
+    state: jax.Array, num_lights: jax.Array, max_num_lights_used: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Uniform proposal (restir_sampling.glsl:71-77).
+    Returns (state, light_index i32, pdf f32)."""
+    num_used = jnp.minimum(num_lights, max_num_lights_used).astype(jnp.float32)
+    state, r = rngmod.random_float(state)
+    idx = (r * num_used).astype(jnp.int32)
+    idx = jnp.minimum(idx, num_used.astype(jnp.int32) - 1)  # guard r == 1.0
+    return state, idx, 1.0 / jnp.maximum(num_used, 1.0)
+
+
+def update_reservoir(
+    state: jax.Array, res: Reservoir, Xi: jax.Array, w_i: jax.Array, M: jax.Array
+) -> tuple[jax.Array, Reservoir]:
+    """Weighted reservoir update (restir_sampling.glsl:85-93)."""
+    W_sum = res.W_sum + w_i
+    M_new = res.M + M
+    state, r = rngmod.random_float(state)
+    take = r * W_sum < w_i
+    return state, Reservoir(
+        Y=jnp.where(take, Xi, res.Y), W_sum=W_sum, W_X=res.W_X, M=M_new
+    )
+
+
+def finalize_resampling(res: Reservoir, p_hat: jax.Array) -> Reservoir:
+    """W_X = (1/p_hat) * W_sum / M (restir_sampling.glsl:79-82)."""
+    W_X = jnp.where(
+        p_hat == 0.0, 0.0, (1.0 / jnp.maximum(p_hat, 1e-20)) * res.W_sum / jnp.maximum(res.M, 1)
+    )
+    return res._replace(W_X=W_X)
+
+
+def resample(
+    scene,
+    state: jax.Array,
+    hit_position: jax.Array,
+    num_lights: jax.Array,
+    max_num_lights_used: jax.Array,
+    num_candidates: int = 32,
+) -> tuple[jax.Array, Reservoir]:
+    """Fresh 32-candidate RIS (restir_sampling.glsl:96-130)."""
+    shape = state.shape
+    res = Reservoir.empty(shape)
+    m_i = 1.0 / num_candidates
+
+    def body(i, carry):
+        state, res = carry
+        state, cand, p = sample_light_uniform(state, num_lights, max_num_lights_used)
+        p_hat = target_function(scene, cand, hit_position)
+        w_i = m_i * p_hat * (1.0 / p)
+        state, res = update_reservoir(state, res, cand, w_i, jnp.int32(1))
+        return state, res
+
+    state, res = jax.lax.fori_loop(0, num_candidates, body, (state, res))
+    # M forced to 1 (restir_sampling.glsl:119-121).
+    res = res._replace(M=jnp.ones(shape, jnp.int32))
+    p_hat = target_function(scene, res.Y, hit_position)
+    res = finalize_resampling(res, p_hat)
+    res = res._replace(W_X=jnp.where(res.Y < 0, 0.0, res.W_X))
+    return state, res
+
+
+# -- full-image ReSTIR passes (reservoir planes shaped (H, W)) ---------------
+
+
+def initial_ris_pass(scene, state, hit_position, num_lights, max_num_lights_used,
+                     num_candidates: int = 32) -> tuple[jax.Array, Reservoir]:
+    """restir/initial_ris.rgen: fresh RIS fed through one more reservoir with
+    weight W_sum * M, then finalized."""
+    state, r = resample(scene, state, hit_position, num_lights, max_num_lights_used,
+                        num_candidates)
+    new = Reservoir.empty(state.shape)
+    state, new = update_reservoir(state, new, r.Y, r.W_sum * r.M.astype(jnp.float32), r.M)
+    p_hat = target_function(scene, new.Y, hit_position)
+    new = finalize_resampling(new, p_hat)
+    return state, new
+
+
+def temporal_reuse_pass(
+    scene,
+    state: jax.Array,
+    hit_position: jax.Array,
+    initial: Reservoir,
+    prev_frame: Reservoir,
+    prev_frame_projection_view: jax.Array,
+    enabled: jax.Array,
+) -> tuple[jax.Array, Reservoir]:
+    """restir/temporal_reuse.rgen:35-121 (GRIS-style combine).
+
+    hit_position: (H,W,3); reservoir planes (H,W). The previous frame's
+    reservoir is fetched at the backprojected pixel.
+    """
+    h, w = initial.Y.shape
+
+    new = Reservoir.empty((h, w))
+    p_hat = target_function(scene, initial.Y, hit_position)
+    initial_weight = p_hat * initial.W_X * initial.M.astype(jnp.float32)
+    state, new = update_reservoir(state, new, initial.Y, initial_weight, initial.M)
+
+    # Backproject to previous frame (temporal_reuse.rgen:88-103).
+    m = prev_frame_projection_view
+    hp = hit_position
+    clip = (
+        hp @ m[:3, :3].T
+        + m[:3, 3]
+    )
+    clip_w = hp @ m[3, :3] + m[3, 3]
+    ndc = clip[..., :2] / clip_w[..., None]
+    uvp = ndc * 0.5 + 0.5
+    uvp = uvp.at[..., 1].set(1.0 - uvp[..., 1])
+    in_bounds = (
+        (uvp[..., 0] >= 0.0) & (uvp[..., 0] <= 1.0) & (uvp[..., 1] >= 0.0) & (uvp[..., 1] <= 1.0)
+    )
+    px = (uvp[..., 0] * w + 0.5).astype(jnp.int32).clip(0, w - 1)
+    py = (uvp[..., 1] * h + 0.5).astype(jnp.int32).clip(0, h - 1)
+    prev = Reservoir(
+        Y=jnp.where(in_bounds, prev_frame.Y[py, px], -1),
+        W_sum=jnp.where(in_bounds, prev_frame.W_sum[py, px], 0.0),
+        W_X=jnp.where(in_bounds, prev_frame.W_X[py, px], 0.0),
+        M=jnp.where(in_bounds, prev_frame.M[py, px], 0),
+    )
+
+    # p_hat reweighting for target-distribution mismatch + 20x M clamp
+    # (temporal_reuse.rgen:100-115).
+    p_hat_prev = target_function(scene, prev.Y, hit_position)
+    M_clamped = jnp.minimum(20 * initial.M, prev.M)
+    prev_weight = p_hat_prev * prev.W_X * M_clamped.astype(jnp.float32)
+    state, new = update_reservoir(state, new, prev.Y, prev_weight, M_clamped)
+
+    p_hat_new = target_function(scene, new.Y, hit_position)
+    new = finalize_resampling(new, p_hat_new)
+    new = new._replace(W_X=jnp.where(new.Y < 0, 0.0, new.W_X))
+
+    # Disabled path = passthrough (temporal_reuse.rgen:43-46).
+    on = enabled == 1
+    out = Reservoir(
+        Y=jnp.where(on, new.Y, initial.Y),
+        W_sum=jnp.where(on, new.W_sum, initial.W_sum),
+        W_X=jnp.where(on, new.W_X, initial.W_X),
+        M=jnp.where(on, new.M, initial.M),
+    )
+    return state, out
+
+
+def spatial_reuse_pass(
+    scene,
+    state: jax.Array,
+    hit_position: jax.Array,
+    temporal: Reservoir,
+    enabled: jax.Array,
+    num_neighbors: int = 5,
+    radius: int = 30,
+) -> tuple[jax.Array, Reservoir]:
+    """restir/spatial_reuse.rgen:35-75: combine with 5 random neighbors."""
+    h, w = temporal.Y.shape
+    new = Reservoir.empty((h, w))
+    p_hat = target_function(scene, temporal.Y, hit_position)
+    state, new = update_reservoir(
+        state, new, temporal.Y, p_hat * temporal.W_X * temporal.M.astype(jnp.float32), temporal.M
+    )
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    for _ in range(num_neighbors):
+        state, off = rngmod.random_vec2(state)
+        off = (off * 2.0 - 1.0) * radius
+        nx = jnp.clip(xx + off[..., 0].astype(jnp.int32), 0, w - 1)
+        ny = jnp.clip(yy + off[..., 1].astype(jnp.int32), 0, h - 1)
+        nb = Reservoir(
+            Y=temporal.Y[ny, nx],
+            W_sum=temporal.W_sum[ny, nx],
+            W_X=temporal.W_X[ny, nx],
+            M=temporal.M[ny, nx],
+        )
+        p_hat_nb = target_function(scene, nb.Y, hit_position)
+        state, new = update_reservoir(
+            state, new, nb.Y, p_hat_nb * nb.W_X * nb.M.astype(jnp.float32), nb.M
+        )
+
+    p_hat_new = target_function(scene, new.Y, hit_position)
+    new = finalize_resampling(new, p_hat_new)
+    new = new._replace(W_X=jnp.where(new.Y < 0, 0.0, new.W_X))
+
+    on = enabled == 1
+    return state, Reservoir(
+        Y=jnp.where(on, new.Y, temporal.Y),
+        W_sum=jnp.where(on, new.W_sum, temporal.W_sum),
+        W_X=jnp.where(on, new.W_X, temporal.W_X),
+        M=jnp.where(on, new.M, temporal.M),
+    )

@@ -1,0 +1,171 @@
+"""Render settings and per-frame view uniforms.
+
+Mirrors the reference's ``ViewUniformData`` (utopian/src/renderer.rs:84-120):
+five matrices, eye/sun, sampling parameters, and 16 u32 feature toggles that
+every shader reads through the view UBO (utopian/shaders/include/view.glsl).
+
+TPU-native split (SURVEY.md §5.6): values that change per frame or toggle
+frequently are *traced* pytree leaves (`RenderSettings`) so flipping them does
+not recompile the frame function — mirroring the reference's
+single-pipeline-many-flags design. Values that change the *shape or structure*
+of the computation (resolution, bounce count, samples per frame, graph mode)
+are static and hashable (`StaticConfig`); changing them re-traces, exactly like
+the reference's pipeline permutations would.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RenderGraphMode(enum.Enum):
+    """Render graph modes (reference: prototype/src/main.rs:5-11)."""
+
+    PATH_TRACED = 0
+    HYBRID = 1
+    RASTERIZED = 2
+    MINIMAL = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticConfig:
+    """Compile-time configuration: anything that changes traced shapes.
+
+    Reference analogs: window size (prototype/src/main.rs:39), shadow map size
+    (renderers/mod.rs:47-59), cubemap size (ibl.rs:18), marching-cubes grid
+    (marching_cubes.rs:17), RIS candidate count (restir_sampling.glsl:49).
+    """
+
+    width: int = 2000
+    height: int = 1100
+    samples_per_frame: int = 1
+    num_bounces: int = 5
+    shadow_map_size: int = 4096
+    shadow_cascade_count: int = 4
+    cubemap_size: int = 512
+    cubemap_mips: int = 8
+    irradiance_size: int = 64
+    brdf_lut_size: int = 512
+    mc_grid: int = 32
+    ris_candidates: int = 32
+    spatial_neighbors: int = 5
+    spatial_radius: int = 30
+    max_num_lights: int = 1024
+
+    def replace(self, **kw: Any) -> "StaticConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderSettings:
+    """Traced per-frame view data + runtime feature toggles.
+
+    Field-for-field analog of ``ViewUniformData``
+    (utopian/src/renderer.rs:84-120). Toggles are int32 scalars (not Python
+    bools) so flipping them in the UI does not trigger a jit re-trace; shaders
+    branch with `jnp.where`, mirroring the reference's uniform-flag reads.
+    """
+
+    # Matrices (world <-> clip). Stored row-convention: `m @ v` column vectors.
+    view: jax.Array
+    projection: jax.Array
+    inverse_view: jax.Array
+    inverse_projection: jax.Array
+    prev_frame_projection_view: jax.Array
+
+    eye_pos: jax.Array  # (3,)
+    sun_dir: jax.Array  # (3,)
+    total_samples: jax.Array  # u32 scalar: progressive accumulation counter
+    time: jax.Array  # f32 scalar
+    num_lights: jax.Array  # i32 scalar
+
+    # Runtime feature toggles (u32/i32 scalars).
+    shadows_enabled: jax.Array
+    ssao_enabled: jax.Array
+    fxaa_enabled: jax.Array
+    cubemap_enabled: jax.Array
+    ibl_enabled: jax.Array
+    sky_enabled: jax.Array
+    sun_shadow_enabled: jax.Array
+    lights_enabled: jax.Array
+    max_num_lights_used: jax.Array
+    marching_cubes_enabled: jax.Array
+    temporal_reuse_enabled: jax.Array
+    spatial_reuse_enabled: jax.Array
+    rebuild_tlas: jax.Array
+    accumulation_limit: jax.Array
+    use_ris_light_sampling: jax.Array
+    raytracing_supported: jax.Array
+
+    @staticmethod
+    def default(
+        view: np.ndarray | None = None,
+        projection: np.ndarray | None = None,
+        eye_pos=(0.0, 0.0, 0.0),
+        sun_dir=(0.0, 0.90631, 0.42262),
+        num_lights: int = 0,
+    ) -> "RenderSettings":
+        """Defaults mirroring prototype/src/main.rs:55-86 (samples_per_frame=1,
+        num_bounces=5, accumulation_limit=999999 live in StaticConfig/here)."""
+        eye4 = np.eye(4, dtype=np.float32)
+        view = np.asarray(view, np.float32) if view is not None else eye4
+        projection = (
+            np.asarray(projection, np.float32) if projection is not None else eye4
+        )
+        f = jnp.float32
+        i = jnp.int32
+
+        def flag(v: int) -> jax.Array:
+            return jnp.asarray(v, jnp.int32)
+
+        return RenderSettings(
+            view=jnp.asarray(view),
+            projection=jnp.asarray(projection),
+            inverse_view=jnp.asarray(np.linalg.inv(view)),
+            inverse_projection=jnp.asarray(np.linalg.inv(projection)),
+            prev_frame_projection_view=jnp.asarray(projection @ view),
+            eye_pos=jnp.asarray(eye_pos, f),
+            sun_dir=jnp.asarray(sun_dir, f),
+            total_samples=jnp.asarray(0, jnp.uint32),
+            time=jnp.asarray(0.0, f),
+            num_lights=jnp.asarray(num_lights, i),
+            shadows_enabled=flag(1),
+            ssao_enabled=flag(1),
+            fxaa_enabled=flag(1),
+            cubemap_enabled=flag(1),
+            ibl_enabled=flag(1),
+            sky_enabled=flag(1),
+            sun_shadow_enabled=flag(1),
+            lights_enabled=flag(1),
+            max_num_lights_used=jnp.asarray(1024, i),
+            marching_cubes_enabled=flag(0),
+            temporal_reuse_enabled=flag(1),
+            spatial_reuse_enabled=flag(1),
+            rebuild_tlas=flag(0),
+            accumulation_limit=jnp.asarray(999999, i),
+            use_ris_light_sampling=flag(0),
+            raytracing_supported=flag(1),
+        )
+
+    def with_camera(self, camera, width: int, height: int) -> "RenderSettings":
+        """Refresh view matrices from a Camera (mirrors main.rs:459-471)."""
+        view = camera.get_view()
+        proj = camera.get_projection()
+        return dataclasses.replace(
+            self,
+            view=jnp.asarray(view),
+            projection=jnp.asarray(proj),
+            inverse_view=jnp.asarray(np.linalg.inv(view)),
+            inverse_projection=jnp.asarray(np.linalg.inv(proj)),
+            eye_pos=jnp.asarray(camera.get_position(), jnp.float32),
+        )
+
+    def replace(self, **kw: Any) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)

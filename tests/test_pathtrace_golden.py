@@ -1,0 +1,108 @@
+"""Golden-image test: TPU-framework RTIOW render vs the independent CPU
+reference path tracer (SURVEY.md §4 item 2 / BASELINE config 1).
+
+Both render the same four-sphere scene with matching camera, sun NEE and sky;
+converged (multi-sample) linear images must agree within Monte-Carlo noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rust_renderer_tpu as rt
+from rust_renderer_tpu.models import create_rtiow_scene
+from rust_renderer_tpu.ops import pathtrace
+from rust_renderer_tpu.settings import RenderSettings, StaticConfig
+
+SIZE = 48
+SPP = 48
+BOUNCES = 3
+
+
+def _render_tpu_framework():
+    r = rt.Renderer()
+    cam = rt.Camera([0, 1, 4], [0, 0.5, -1], fov_degrees=60.0, aspect_ratio=1.0)
+    create_rtiow_scene(r, cam)
+    cam.set_position_target([0, 1, 4], [0, 0.5, -1])
+    scene = r.pack()
+    cfg = StaticConfig(width=SIZE, height=SIZE, samples_per_frame=1, num_bounces=BOUNCES)
+    base_view = RenderSettings.default(num_lights=0).with_camera(cam, SIZE, SIZE)
+    base_view = base_view.replace(
+        lights_enabled=jnp.int32(0),
+        use_ris_light_sampling=jnp.int32(0),
+    )
+
+    @jax.jit
+    def frame(scene, view, accum):
+        return pathtrace.path_trace(scene, view, cfg, accum)
+
+    accum = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+    for f in range(1, SPP + 1):
+        view = base_view.replace(total_samples=jnp.uint32(f))
+        res = frame(scene, view, accum)
+        accum = res.accumulation
+    return np.asarray(accum) / SPP  # linear, converged
+
+
+@pytest.fixture(scope="module")
+def tpu_image():
+    return _render_tpu_framework()
+
+
+@pytest.fixture(scope="module")
+def cpu_image():
+    from tests import cpu_reference
+
+    return cpu_reference.render(
+        width=SIZE, height=SIZE, spp=SPP, bounces=BOUNCES,
+        eye=(0, 1, 4), target=(0, 0.5, -1), fov_degrees=60.0, sun_nee=True,
+    )
+
+
+def test_rtiow_golden_rmse(tpu_image, cpu_image):
+    rmse = float(np.sqrt(np.mean((tpu_image - cpu_image) ** 2)))
+    # Allow Monte-Carlo noise + minor sky integration differences; structural
+    # errors (wrong geometry/material/camera) produce RMSE > 0.1.
+    assert rmse < 0.035, f"RMSE {rmse:.4f} vs CPU reference"
+
+
+def test_rtiow_regions(tpu_image, cpu_image):
+    """Region-level agreement: sky, ground, and each sphere."""
+    h = w = SIZE
+    regions = {
+        "sky": (slice(0, h // 6), slice(0, w)),
+        "ground": (slice(5 * h // 6, h), slice(0, w)),
+        "center": (slice(h // 3, 2 * h // 3), slice(w // 3, 2 * w // 3)),
+    }
+    for name, sl in regions.items():
+        a = tpu_image[sl].mean(axis=(0, 1))
+        b = cpu_image[sl].mean(axis=(0, 1))
+        assert np.allclose(a, b, atol=0.04), f"{name}: {a} vs {b}"
+
+
+def test_accumulation_protocol():
+    """Accumulation rebase + limit semantics (reference.rgen:130-144)."""
+    r = rt.Renderer()
+    cam = rt.Camera([0, 1, 4], [0, 0.5, -1], aspect_ratio=1.0)
+    create_rtiow_scene(r, cam)
+    scene = r.pack()
+    size = 8
+    cfg = StaticConfig(width=size, height=size, samples_per_frame=1, num_bounces=2)
+    view = RenderSettings.default(num_lights=0).with_camera(cam, size, size)
+    view = view.replace(lights_enabled=jnp.int32(0), sky_enabled=jnp.int32(0),
+                        sun_shadow_enabled=jnp.int32(0))
+
+    @jax.jit
+    def frame(scene, view, accum):
+        return pathtrace.path_trace(scene, view, cfg, accum)
+
+    stale = jnp.full((size, size, 3), 123.0)
+    # total_samples == samples_per_frame -> accumulation rebased, stale ignored.
+    r1 = frame(scene, view.replace(total_samples=jnp.uint32(1)), stale)
+    assert float(np.asarray(r1.accumulation).max()) < 100.0
+
+    # Past the limit the accumulation freezes.
+    view_lim = view.replace(total_samples=jnp.uint32(10), accumulation_limit=jnp.int32(5))
+    r2 = frame(scene, view_lim, r1.accumulation)
+    np.testing.assert_allclose(np.asarray(r2.accumulation), np.asarray(r1.accumulation))
