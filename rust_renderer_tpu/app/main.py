@@ -1,0 +1,249 @@
+"""Application: scene setup, frame loop, mode switching.
+
+Rebuild of prototype/src/main.rs: owns the Renderer + Graph + Camera + Input
++ settings, rebuilds the render graph every frame for the active mode
+(main.rs:487-517), maintains the progressive-accumulation protocol
+(total_samples grows each frame, reset by camera/setting changes,
+main.rs:400-469), handles mode hotkeys 1/2/3/4 (main.rs:415-428), Q for the
+profiler (main.rs:450-453), and kernel hot reload through the directory
+watcher (main.rs:430-448). Headless: frames render offscreen; `present`
+yields the final image (numpy) to a callback / disk.
+
+Usage:
+    app = Application(width=512, height=512)
+    app.create_scene()
+    app.run(num_frames=16, on_frame=lambda i, img: ...)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import rust_renderer_tpu as rt
+from rust_renderer_tpu.app.ui import Ui
+from rust_renderer_tpu.input import Input
+from rust_renderer_tpu.models import create_scene
+from rust_renderer_tpu.ops import bvh as bvh_ops
+from rust_renderer_tpu.renderers import (
+    build_hybrid_render_graph,
+    build_minimal_forward_render_graph,
+    build_path_tracing_render_graph,
+    build_render_graph,
+)
+from rust_renderer_tpu.settings import RenderGraphMode, RenderSettings, StaticConfig
+from rust_renderer_tpu.utils import FpsTimer
+from rust_renderer_tpu.utils.image_io import save_png
+from rust_renderer_tpu.utils.profiler import PROFILER
+from rust_renderer_tpu.utils.watcher import DirectoryWatcher
+
+
+class Application:
+    def __init__(
+        self,
+        width: int = 2000,
+        height: int = 1100,
+        mode: RenderGraphMode = RenderGraphMode.PATH_TRACED,
+        cfg: StaticConfig | None = None,
+    ):
+        self.cfg = (cfg or StaticConfig()).replace(width=width, height=height)
+        self.renderer = rt.Renderer()
+        self.camera = rt.Camera(
+            [-10.28, 2.10, -0.18], [0.0, 0.5, 0.0],
+            fov_degrees=60.0, aspect_ratio=width / height,
+            z_near=0.01, z_far=20000.0, speed=0.2,
+        )
+        self.graph = rt.Graph()
+        self.input = Input()
+        self.ui = Ui()
+        self.fps_timer = FpsTimer()
+        self.render_graph_mode = mode
+        self.total_samples = 0
+        self.scene = None
+        self.scene_bvh = None
+        self.sun_dir = np.array([0.0, 0.90631, 0.42262], np.float32)
+        self.view = RenderSettings.default(sun_dir=self.sun_dir)
+        self.watcher = DirectoryWatcher(os.path.dirname(os.path.dirname(__file__)))
+
+    # -- scene (main.rs:168-176) --------------------------------------------
+
+    def create_scene(self, builder=create_scene) -> None:
+        with PROFILER.scope("create_scene"):
+            builder(self.renderer, self.camera)
+            self._repack()
+
+    def _repack(self) -> None:
+        """Pack scene arrays + (re)build the BVH — the BLAS/TLAS build
+        analog (raytracing.rs:89-111)."""
+        with PROFILER.scope("pack_scene"):
+            self.scene = self.renderer.pack()
+        with PROFILER.scope("build_bvh"):
+            self.scene_bvh = bvh_ops.build_scene_bvh(self.scene)
+
+    def set_instance_transform(self, instance: int, transform) -> None:
+        """Gizmo-move analog: transform edit + TLAS rebuild + accumulation
+        reset (main.rs:344-359)."""
+        self.renderer.set_instance_transform(instance, transform)
+        self._repack()
+        self.reset_accumulation()
+
+    def reset_accumulation(self) -> None:
+        self.total_samples = 0
+
+    # -- frame loop (main.rs:362-552) ----------------------------------------
+
+    def _handle_hotkeys(self) -> None:
+        mapping = {
+            "1": RenderGraphMode.PATH_TRACED,
+            "2": RenderGraphMode.HYBRID,
+            "3": RenderGraphMode.RASTERIZED,
+            "4": RenderGraphMode.MINIMAL,
+        }
+        for key, mode in mapping.items():
+            if self.input.key_pressed(key):
+                if self.render_graph_mode != mode:
+                    self.render_graph_mode = mode
+                    self.reset_accumulation()
+        if self.input.key_pressed("q"):
+            PROFILER.toggle()
+
+    def _check_hot_reload(self) -> None:
+        path = self.watcher.check_if_modification()
+        if path is None:
+            return
+        self.reset_accumulation()
+        mod = DirectoryWatcher.module_name_for(path)
+        if mod:
+            self.graph.recompile_shader(mod)
+
+    def _refresh_view(self) -> None:
+        """main.rs:459-471."""
+        w, h = self.cfg.width, self.cfg.height
+        self.total_samples += self.cfg.samples_per_frame
+        prev_pv = jnp.asarray(
+            np.asarray(self.view.projection) @ np.asarray(self.view.view)
+        )
+        self.view = self.view.with_camera(self.camera, w, h).replace(
+            total_samples=jnp.asarray(self.total_samples, jnp.uint32),
+            time=jnp.asarray(self.fps_timer.elapsed_seconds(), jnp.float32),
+            num_lights=jnp.asarray(self.renderer.get_num_lights(), jnp.int32),
+            sun_dir=jnp.asarray(self.sun_dir),
+        )
+        # Saved for ReSTIR temporal backprojection (main.rs:545-546).
+        self._pending_prev_pv = prev_pv
+
+    def render_frame(self):
+        """One full frame; returns the resource dict."""
+        PROFILER.new_frame()
+        with PROFILER.scope("frame"):
+            self._handle_hotkeys()
+            self._check_hot_reload()
+
+            if self.camera.update(self.input):
+                self.reset_accumulation()
+
+            if self.ui.settings_changed(self.view, self.cfg):
+                self.reset_accumulation()
+
+            self._refresh_view()
+
+            with PROFILER.scope("build_graph"):
+                self.graph.new_frame()
+                self.graph.clear()
+                mode = self.render_graph_mode
+                if mode == RenderGraphMode.PATH_TRACED:
+                    build_path_tracing_render_graph(
+                        self.graph, self.cfg, self.camera, self.scene_bvh, self.sun_dir
+                    )
+                elif mode == RenderGraphMode.RASTERIZED:
+                    build_render_graph(
+                        self.graph, self.cfg, self.camera, self.scene_bvh,
+                        self.sun_dir,
+                        need_environment_update=self.renderer.need_environment_map_update,
+                        shadows_enabled=bool(int(self.view.shadows_enabled)),
+                        marching_cubes_enabled=bool(int(self.view.marching_cubes_enabled)),
+                    )
+                    self.renderer.need_environment_map_update = False
+                elif mode == RenderGraphMode.MINIMAL:
+                    build_minimal_forward_render_graph(
+                        self.graph, self.cfg, self.camera, self.scene_bvh, self.sun_dir
+                    )
+                else:
+                    build_hybrid_render_graph(self.graph)
+
+            with PROFILER.scope("render"):
+                resources = self.graph.render(self.scene, self.view)
+
+            # prev-frame matrix handoff for the next frame's temporal pass.
+            self.view = self.view.replace(
+                prev_frame_projection_view=self._pending_prev_pv
+            )
+        self.fps_timer.calculate()
+        return resources
+
+    def run(self, num_frames: int = 1, on_frame=None, save_to: str | None = None):
+        """Pump `num_frames` frames (the winit loop analog,
+        vulkan_base.rs:508-544)."""
+        last = None
+        for i in range(num_frames):
+            self.input.begin_frame()
+            resources = self.render_frame()
+            if "present_output" in resources:
+                last = np.asarray(resources["present_output"])
+                if on_frame is not None:
+                    on_frame(i, last)
+        if save_to and last is not None:
+            save_png(save_to, last)
+        return last
+
+
+def main() -> int:  # pragma: no cover — interactive entry point
+    import argparse
+
+    p = argparse.ArgumentParser(description="rust_renderer_tpu offscreen app")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--mode", choices=["pt", "hybrid", "raster", "minimal"], default="pt")
+    p.add_argument("--out", default="frame.png")
+    p.add_argument("--scene", choices=["default", "rtiow", "cornell", "cubes"],
+                   default="default")
+    p.add_argument(
+        "--small", action="store_true",
+        help="shrink offscreen buffers (shadow/cubemap/LUT) for quick runs",
+    )
+    args = p.parse_args()
+
+    mode = {
+        "pt": RenderGraphMode.PATH_TRACED,
+        "hybrid": RenderGraphMode.HYBRID,
+        "raster": RenderGraphMode.RASTERIZED,
+        "minimal": RenderGraphMode.MINIMAL,
+    }[args.mode]
+    cfg = None
+    if args.small:
+        cfg = StaticConfig(
+            shadow_map_size=256, cubemap_size=64, cubemap_mips=4,
+            irradiance_size=16, brdf_lut_size=64, num_bounces=3,
+        )
+    app = Application(args.width, args.height, mode, cfg)
+    from rust_renderer_tpu import models as scene_models
+
+    builder = {
+        "default": scene_models.create_scene,
+        "rtiow": scene_models.create_rtiow_scene,
+        "cornell": scene_models.create_cornell_box_scene,
+        "cubes": scene_models.create_cube_scene,
+    }[args.scene]
+    app.create_scene(builder)
+    app.run(args.frames, save_to=args.out)
+    print(PROFILER.report())
+    print(f"fps={app.fps_timer.fps:.2f} saved={args.out}")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

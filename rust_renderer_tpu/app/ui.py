@@ -1,0 +1,71 @@
+"""Settings panel: the headless analog of the egui UI (prototype/src/ui.rs +
+update_ui in prototype/src/main.rs:178-360).
+
+The reference mutates `ViewUniformData` through egui widgets and resets
+progressive accumulation whenever any path-tracing-relevant setting changes
+(main.rs:400-413). Here the panel mutates the same fields programmatically
+(scriptable / keyboard-driven) and reports change state the same way.
+`U32Checkbox` (ui.rs:77-97) maps to flag toggles on int settings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+# Fields whose change resets accumulation (main.rs:400-413 watches the whole
+# ViewUniformData block; camera moves and gizmo edits also reset).
+_TRACKED = (
+    "samples_per_frame",
+    "num_bounces",
+    "sun_dir",
+    "sky_enabled",
+    "sun_shadow_enabled",
+    "lights_enabled",
+    "max_num_lights_used",
+    "temporal_reuse_enabled",
+    "spatial_reuse_enabled",
+    "accumulation_limit",
+    "use_ris_light_sampling",
+)
+
+
+@dataclasses.dataclass
+class UiState:
+    show_profiler: bool = False  # toggled by Q (main.rs:450-453)
+    gizmo_instance: int | None = None
+
+
+class Ui:
+    def __init__(self) -> None:
+        self.state = UiState()
+        self._prev_snapshot: tuple | None = None
+
+    def _snapshot(self, view, cfg) -> tuple:
+        vals = []
+        for f in _TRACKED:
+            v = getattr(view, f, None)
+            if v is None:
+                v = getattr(cfg, f, None)
+            if hasattr(v, "tolist"):
+                v = tuple(jnp.asarray(v).reshape(-1).tolist())
+            vals.append((f, v))
+        return tuple(vals)
+
+    def begin_frame(self) -> None:
+        pass
+
+    def settings_changed(self, view, cfg) -> bool:
+        """True when any tracked setting differs from last frame —
+        the accumulation-reset trigger (main.rs:400-413)."""
+        snap = self._snapshot(view, cfg)
+        changed = self._prev_snapshot is not None and snap != self._prev_snapshot
+        self._prev_snapshot = snap
+        return changed
+
+    @staticmethod
+    def toggle_flag(view, name: str):
+        """U32Checkbox analog: flips an int flag on RenderSettings."""
+        cur = int(getattr(view, name))
+        return view.replace(**{name: jnp.asarray(0 if cur else 1, jnp.int32)})

@@ -1,0 +1,114 @@
+"""Screen-space ambient occlusion.
+
+Rebuild of utopian/shaders/ssao/ssao.frag: 32-sample hemisphere kernel
+oriented by a TBN about the view-space normal, view-space depth comparison
+with smoothstep range check, strength 1.6, sky early-out where the position
+buffer holds the clear value (1,1,1). The reference hardcodes a generated
+kernel (ssao.frag:31-64 notes it "will be replaced by a random kernel");
+we generate an equivalent cosine-ish hemisphere kernel deterministically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+KERNEL_SIZE = 32
+STRENGTH = 1.6
+
+
+def _make_kernel(n: int = KERNEL_SIZE, seed: int = 17) -> np.ndarray:
+    """Hemisphere (z >= 0) samples, biased toward the center like the
+    classic LearnOpenGL kernel the reference generated its constants from."""
+    rng = np.random.default_rng(seed)
+    v = rng.uniform([-1, -1, 0], [1, 1, 1], (n, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    v *= rng.uniform(0, 1, (n, 1))
+    scale = 0.1 + 0.9 * (np.arange(n) / n) ** 2  # lerp(0.1, 1.0, (i/n)^2)
+    return (v * scale[:, None]).astype(np.float32)
+
+
+_KERNEL = jnp.asarray(_make_kernel())
+
+
+def ssao(
+    gbuffer_position: jax.Array,  # (H, W, 4) world pos (w unused)
+    gbuffer_normal: jax.Array,  # (H, W, 4)
+    view_matrix: jax.Array,  # (4, 4)
+    projection: jax.Array,  # (4, 4)
+    radius: jax.Array,
+    bias: jax.Array,
+) -> jax.Array:
+    """Returns (H, W) occlusion in [0, 1] (1 = unoccluded)."""
+    h, w = gbuffer_position.shape[:2]
+    pos_world = gbuffer_position[..., :3]
+
+    # Sky early-out: position cleared to 1 (ssao.frag:77-81).
+    is_sky = jnp.all(pos_world == 1.0, axis=-1)
+
+    pos_view = (
+        jnp.einsum("ij,hwj->hwi", view_matrix[:3, :3], pos_world) + view_matrix[:3, 3]
+    )
+    normal_world = gbuffer_normal[..., :3]
+    # normalMatrix = transpose(inverse(view)) (ssao.frag:84-86).
+    normal_matrix = jnp.linalg.inv(view_matrix).T
+    normal_view = jnp.einsum("ij,hwj->hwi", normal_matrix[:3, :3], normal_world)
+    normal_view = normal_view / jnp.maximum(
+        jnp.linalg.norm(normal_view, axis=-1, keepdims=True), 1e-9
+    )
+
+    # TBN from the fixed random vector (1,1,0) (ssao.frag:88-96).
+    random_vec = jnp.asarray([1.0, 1.0, 0.0])
+    t = random_vec - normal_view * jnp.sum(random_vec * normal_view, -1, keepdims=True)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-9)
+    b = jnp.cross(t, normal_view)
+
+    occlusion = jnp.zeros((h, w), jnp.float32)
+    for i in range(KERNEL_SIZE):
+        k = _KERNEL[i]
+        sample_view = (
+            t * k[0] + b * k[1] + normal_view * k[2]
+        ) * radius + pos_view
+
+        # Project to screen (ssao.frag:104-110).
+        clip = (
+            jnp.einsum("ij,hwj->hwi", projection[:3, :3], sample_view)
+            + projection[:3, 3]
+        )
+        cw = (
+            jnp.einsum("j,hwj->hw", projection[3, :3], sample_view) + projection[3, 3]
+        )
+        ndc = clip / jnp.maximum(jnp.abs(cw), 1e-9)[..., None] * jnp.sign(cw)[..., None]
+        suv = ndc[..., :2] * 0.5 + 0.5
+        suv = jnp.stack([suv[..., 0], 1.0 - suv[..., 1]], axis=-1)  # FLIP_UV_Y
+        sx = jnp.clip((suv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        sy = jnp.clip((suv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+
+        fetched_world = pos_world[sy, sx]
+        sample_depth = (
+            jnp.einsum("j,hwj->hw", view_matrix[2, :3], fetched_world)
+            + view_matrix[2, 3]
+        )
+
+        denom = jnp.maximum(jnp.abs(pos_view[..., 2] - sample_depth), 1e-9)
+        range_check = jnp.clip(radius / denom, 0.0, 1.0)
+        range_check = range_check * range_check * (3.0 - 2.0 * range_check)  # smoothstep
+        occluded = (sample_depth >= sample_view[..., 2] + bias).astype(jnp.float32)
+        occlusion = occlusion + occluded * range_check
+
+    result = 1.0 - (occlusion / KERNEL_SIZE) * STRENGTH
+    return jnp.where(is_sky, 1.0, result)
+
+
+def ssao_blur(occlusion: jax.Array, radius: int = 2) -> jax.Array:
+    """Box blur of the SSAO term. The reference ships ssao/blur.frag but never
+    wires it into the graph (renderers/ssao.rs:34-36); provided and wired here
+    behind the same 'blur present' intent."""
+    h, w = occlusion.shape
+    acc = jnp.zeros_like(occlusion)
+    count = (2 * radius + 1) ** 2
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            acc = acc + jnp.roll(jnp.roll(occlusion, dy, 0), dx, 1)
+    return acc / count

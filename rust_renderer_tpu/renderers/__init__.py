@@ -1,0 +1,269 @@
+"""Render-graph construction (rebuild of utopian/src/renderers/mod.rs).
+
+Four graph modes mirroring RenderGraphMode (prototype/src/main.rs:5-11):
+- PATH_TRACED: gbuffer -> reset_reservoirs -> initial_ris -> temporal_reuse
+  -> spatial_reuse -> reference_pt -> present-blit (mod.rs:189-375)
+- RASTERIZED: shadow -> gbuffer -> rt_shadows -> environment (lazy) ->
+  rt_reflections -> ssao -> deferred -> atmosphere -> present (mod.rs:61-187)
+- HYBRID: empty stub, like the reference (mod.rs:377-391)
+- MINIMAL: shadow -> forward -> atmosphere -> present (mod.rs:393-433)
+
+Builders are called every frame (the graph is rebuilt per frame over cached
+resources, prototype/src/main.rs:487-517); jit-caching makes re-recording
+free after the first frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rust_renderer_tpu.graph import Graph
+from rust_renderer_tpu.ops import bvh as bvh_ops
+from rust_renderer_tpu.ops import pathtrace as pathtrace_ops
+from rust_renderer_tpu.ops import restir as restir_ops
+from rust_renderer_tpu.renderers.passes import (
+    setup_atmosphere_pass,
+    setup_deferred_pass,
+    setup_environment_passes,
+    setup_forward_pass,
+    setup_gbuffer_pass,
+    setup_marching_cubes_pass,
+    setup_present_pass,
+    setup_rt_reflections_pass,
+    setup_rt_shadows_pass,
+    setup_shadow_pass,
+    setup_ssao_pass,
+)
+
+__all__ = [
+    "build_render_graph",
+    "build_path_tracing_render_graph",
+    "build_hybrid_render_graph",
+    "build_minimal_forward_render_graph",
+]
+
+
+def build_render_graph(
+    graph: Graph, cfg, camera, scene_bvh, sun_dir,
+    need_environment_update: bool = False,
+    shadows_enabled: bool = True,
+    shadow_map_size: int | None = None,
+    marching_cubes_enabled: bool = False,
+) -> None:
+    """Full rasterized graph (mod.rs:61-187)."""
+    w, h = cfg.width, cfg.height
+    size = shadow_map_size or cfg.shadow_map_size
+
+    matrices, splits = setup_shadow_pass(
+        graph, camera, sun_dir, shadows_enabled, size, cfg.shadow_cascade_count
+    )
+    setup_gbuffer_pass(graph, scene_bvh, w, h)
+    if need_environment_update:
+        setup_environment_passes(graph, cfg, sun_dir)
+    else:
+        # Declare persistent env resources so reads resolve even when the
+        # compute passes are skipped this frame (ibl.rs:63-66 semantics).
+        _declare_env_resources(graph, cfg)
+    setup_rt_shadows_pass(graph, scene_bvh, w, h)
+    setup_rt_reflections_pass(graph, scene_bvh, cfg, w, h)
+    setup_ssao_pass(graph, w, h)
+    setup_deferred_pass(graph, cfg, w, h, matrices, splits)
+    if marching_cubes_enabled:  # recorded on demand, like mod.rs:164-176
+        setup_marching_cubes_pass(graph, cfg, w, h, target="deferred_output")
+    setup_atmosphere_pass(graph, cfg, w, h, target="deferred_output")
+    setup_present_pass(graph, w, h, source="deferred_output")
+
+
+def _declare_env_resources(graph: Graph, cfg) -> None:
+    for m in range(cfg.cubemap_mips):
+        s = max(cfg.cubemap_size >> m, 1)
+        graph.create_buffer(f"env_cubemap_mip{m}", (6, s, s, 3), persistent=True)
+        graph.create_buffer(f"specular_map_mip{m}", (6, s, s, 3), persistent=True)
+    graph.create_buffer(
+        "irradiance_map", (6, cfg.irradiance_size, cfg.irradiance_size, 3),
+        persistent=True,
+    )
+    graph.create_buffer("brdf_lut", (cfg.brdf_lut_size, cfg.brdf_lut_size, 2),
+                        persistent=True)
+
+
+# -- path-traced graph (mod.rs:189-375) ---------------------------------------
+
+_RES_FIELDS = ("Y", "W_sum", "W_X", "M")
+
+
+def _read_reservoir(res: dict, name: str) -> restir_ops.Reservoir:
+    return restir_ops.Reservoir(
+        Y=res[f"{name}_Y"].astype(jnp.int32),
+        W_sum=res[f"{name}_W_sum"],
+        W_X=res[f"{name}_W_X"],
+        M=res[f"{name}_M"].astype(jnp.int32),
+    )
+
+
+def _write_reservoir(name: str, r: restir_ops.Reservoir) -> dict:
+    return {
+        f"{name}_Y": r.Y.astype(jnp.float32),
+        f"{name}_W_sum": r.W_sum,
+        f"{name}_W_X": r.W_X,
+        f"{name}_M": r.M.astype(jnp.float32),
+    }
+
+
+def _declare_reservoir(graph: Graph, name: str, w: int, h: int,
+                       persistent: bool = False) -> None:
+    """Reservoir buffers, W*H per plane (the reference's W*H*16B SSBOs,
+    mod.rs:222-244). Y stored as float plane (-1 = empty)."""
+    for f in _RES_FIELDS:
+        graph.create_buffer(
+            f"{name}_{f}", (h, w), clear=-1.0 if f == "Y" else 0.0,
+            persistent=persistent,
+        )
+
+
+def _rng_for(view, shape_hw):
+    from rust_renderer_tpu.ops import rng as rngmod
+
+    h, w = shape_hw
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    frame = (view.total_samples.astype(jnp.float32) + view.time * 10000.0).astype(jnp.int32)
+    return rngmod.init_rng(px, py, w, frame)
+
+
+def build_path_tracing_render_graph(
+    graph: Graph, cfg, camera, scene_bvh, sun_dir,
+) -> None:
+    """PT graph with the ReSTIR chain (mod.rs:189-375)."""
+    w, h = cfg.width, cfg.height
+
+    # 1. gbuffer (hit positions for the ReSTIR passes, mod.rs:246-254).
+    setup_gbuffer_pass(graph, scene_bvh, w, h)
+
+    # Reservoir buffers; spatial output is persistent — it feeds the NEXT
+    # frame's temporal pass as prev (mod.rs:294).
+    _declare_reservoir(graph, "initial_ris_reservoirs", w, h)
+    _declare_reservoir(graph, "temporal_reuse_reservoirs", w, h)
+    _declare_reservoir(graph, "spatial_reuse_reservoirs", w, h, persistent=True)
+    graph.create_texture("accumulation_image", w, h, 3, persistent=True)
+    graph.create_texture("pt_output", w, h, 3)
+
+    # 2. reset_reservoirs (restir/reset_reservoirs.comp): zero initial +
+    # temporal buffers each frame.
+    def reset(res, scene, view, u):
+        out = {}
+        for name in ("initial_ris_reservoirs", "temporal_reuse_reservoirs"):
+            empty = restir_ops.Reservoir.empty((h, w))
+            out.update(_write_reservoir(name, empty))
+        return out
+
+    graph.add_pass("reset_reservoirs").render(reset).build()
+
+    # 3. initial RIS (restir/initial_ris.rgen).
+    def initial_ris(res, scene, view, u):
+        state = _rng_for(view, (h, w))
+        hit_pos = res["gbuffer_position"][..., :3]
+        state, r = restir_ops.initial_ris_pass(
+            scene, state, hit_pos, view.num_lights, view.max_num_lights_used,
+            cfg.ris_candidates,
+        )
+        return _write_reservoir("initial_ris_reservoirs", r)
+
+    (
+        graph.add_pass("initial_ris")
+        .read("gbuffer_position")
+        .render(initial_ris)
+        .build()
+    )
+
+    # 4. temporal reuse (restir/temporal_reuse.rgen).
+    def temporal(res, scene, view, u):
+        state = _rng_for(view, (h, w)) * jnp.uint32(9781) + jnp.uint32(1)
+        hit_pos = res["gbuffer_position"][..., :3]
+        initial = _read_reservoir(res, "initial_ris_reservoirs")
+        prev = _read_reservoir(res, "spatial_reuse_reservoirs")
+        state, out = restir_ops.temporal_reuse_pass(
+            scene, state, hit_pos, initial, prev,
+            view.prev_frame_projection_view, view.temporal_reuse_enabled,
+        )
+        return _write_reservoir("temporal_reuse_reservoirs", out)
+
+    (
+        graph.add_pass("temporal_reuse")
+        .read("gbuffer_position")
+        .render(temporal)
+        .build()
+    )
+
+    # 5. spatial reuse (restir/spatial_reuse.rgen).
+    def spatial(res, scene, view, u):
+        state = _rng_for(view, (h, w)) * jnp.uint32(6271) + jnp.uint32(1)
+        hit_pos = res["gbuffer_position"][..., :3]
+        temporal_r = _read_reservoir(res, "temporal_reuse_reservoirs")
+        state, out = restir_ops.spatial_reuse_pass(
+            scene, state, hit_pos, temporal_r, view.spatial_reuse_enabled,
+            cfg.spatial_neighbors, cfg.spatial_radius,
+        )
+        return _write_reservoir("spatial_reuse_reservoirs", out)
+
+    (
+        graph.add_pass("spatial_reuse")
+        .read("gbuffer_position")
+        .render(spatial)
+        .build()
+    )
+
+    # 6. reference PT with reservoir NEE (mod.rs:345-358, reference.rgen).
+    closest = bvh_ops.make_closest_hit(scene_bvh)
+    any_hit = bvh_ops.make_any_hit(scene_bvh)
+
+    def reference_pt(res, scene, view, u):
+        reservoirs = _read_reservoir(res, "spatial_reuse_reservoirs")
+        result = pathtrace_ops.path_trace(
+            scene, view, cfg, res["accumulation_image"],
+            reservoirs=reservoirs, closest_hit=closest, any_hit=any_hit,
+        )
+        return {
+            "pt_output": result.output,
+            "accumulation_image": result.accumulation,
+        }
+
+    (
+        graph.add_pass("reference_pt")
+        .read("accumulation_image")
+        .write("pt_output").write("accumulation_image")
+        .render(reference_pt)
+        .build()
+    )
+
+    # 7. present blit (mod.rs:360-374, blit.frag — PT output is already sRGB).
+    graph.create_texture("present_output", w, h, 3)
+
+    def blit(res, scene, view, u):
+        return {"present_output": res["pt_output"]}
+
+    graph.add_pass("reference_pt_present").read("pt_output").write(
+        "present_output"
+    ).render(blit).build()
+
+
+def build_hybrid_render_graph(graph: Graph, *args, **kwargs) -> None:
+    """Empty stub, like the reference (mod.rs:377-391)."""
+
+
+def build_minimal_forward_render_graph(
+    graph: Graph, cfg, camera, scene_bvh, sun_dir,
+    shadows_enabled: bool = True, shadow_map_size: int | None = None,
+) -> None:
+    """Minimal forward graph (mod.rs:393-433)."""
+    w, h = cfg.width, cfg.height
+    size = shadow_map_size or cfg.shadow_map_size
+    matrices, splits = setup_shadow_pass(
+        graph, camera, sun_dir, shadows_enabled, size, cfg.shadow_cascade_count
+    )
+    # No atmosphere pass: the reference's minimal graph is shadow -> forward
+    # -> present only (mod.rs:393-433); sky stays at the clear color.
+    setup_forward_pass(graph, cfg, w, h, matrices, splits)
+    setup_present_pass(graph, w, h, source="forward_output")
