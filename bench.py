@@ -1,72 +1,68 @@
 #!/usr/bin/env python
-"""Benchmark: path-traced frame rate at 1080p, 1 spp, on real TPU.
+"""Benchmark: full path-traced frame (BVH + ReSTIR + NEE) at 1080p 1 spp.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 Baseline (BASELINE.md): >= 30 fps at 1080p 1 spp on one v5e chip.
 
-The benchmarked workload is the flagship path: the reference path tracer
-(ops/pathtrace.py — jittered primary rays, bounce loop, sun + light NEE,
-atmosphere sky, progressive accumulation) on the RTIOW sphere scene at
-1920x1080, the scene family the reference's PT mode is built around.
-Ray count per frame = W*H*bounces*3 trace calls actually executed
-(closest-hit + sun any-hit + light closest-hit per bounce).
+Workload = the flagship PT render graph (renderers/__init__.py:
+build_path_tracing_render_graph): BVH-raycast gbuffer, ReSTIR
+reset/initial-RIS/temporal/spatial chain over the scene lights, and the
+reference path tracer (5 bounces, sun + reservoir-NEE light rays) with the
+captured-cubemap sky. Scene: the default scene (Sponza stand-in atrium,
+~60k triangles, 10 point lights — models/scenes.py create_scene).
+
+Rays/frame counted as traces actually executed per bounce:
+closest-hit + sun any-hit + light closest-hit per pixel, all 5 bounces.
+Set RR_BENCH_SMALL=1 for a quick 512x512 sanity run.
 """
 
 import json
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 
 def main() -> int:
-    import rust_renderer_tpu as rt
-    from rust_renderer_tpu.models import create_rtiow_scene
-    from rust_renderer_tpu.ops import pathtrace
-    from rust_renderer_tpu.settings import RenderSettings, StaticConfig
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    width, height = 1920, 1080
+    import rust_renderer_tpu as rt
+    from rust_renderer_tpu.app.main import Application
+    from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
+
+    small = os.environ.get("RR_BENCH_SMALL") == "1"
+    width, height = (512, 512) if small else (1920, 1080)
     bounces = 5
 
-    renderer = rt.Renderer()
-    camera = rt.Camera(
-        [0, 1, 4], [0, 0.5, -1], fov_degrees=60.0, aspect_ratio=width / height
+    cfg = StaticConfig(
+        width=width, height=height, samples_per_frame=1, num_bounces=bounces,
+        sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
+        irradiance_size=32, brdf_lut_size=128,
     )
-    create_rtiow_scene(renderer, camera)
-    scene = renderer.pack()
-    cfg = StaticConfig(width=width, height=height, samples_per_frame=1, num_bounces=bounces)
-    base_view = RenderSettings.default(num_lights=0).with_camera(camera, width, height)
-    base_view = base_view.replace(lights_enabled=jnp.int32(0))
+    app = Application(width, height, RenderGraphMode.PATH_TRACED, cfg)
+    app.create_scene()
 
-    @jax.jit
-    def frame(scene, view, accum):
-        return pathtrace.path_trace(scene, view, cfg, accum)
+    # Warmup: frame 1 includes env capture + compile; frame 2 the steady graph.
+    t_compile0 = time.perf_counter()
+    app.run(num_frames=2)
+    compile_s = time.perf_counter() - t_compile0
 
-    accum = jnp.zeros((height, width, 3), jnp.float32)
-
-    # Warmup / compile.
-    view = base_view.replace(total_samples=jnp.uint32(1))
-    res = frame(scene, view, accum)
-    res.output.block_until_ready()
-
-    n_frames = 20
+    n_frames = 5 if small else 15
     t0 = time.perf_counter()
-    for f in range(2, 2 + n_frames):
-        view = base_view.replace(total_samples=jnp.uint32(f))
-        res = frame(scene, view, res.accumulation)
-    res.output.block_until_ready()
+    last = app.run(num_frames=n_frames)
+    jax.block_until_ready(app.graph.state["accumulation_image"])
     dt = (time.perf_counter() - t0) / n_frames
 
     fps = 1.0 / dt
     rays_per_frame = width * height * bounces * 3
     mrays = rays_per_frame / dt / 1e6
+    tris = int(app.scene.indices.shape[0])
 
     print(
         json.dumps(
             {
-                "metric": "pathtrace_1080p_1spp_fps",
+                "metric": "pathtrace_graph_1080p_1spp_fps",
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 4),
@@ -74,7 +70,12 @@ def main() -> int:
                     "frame_ms": round(dt * 1000, 3),
                     "mrays_per_sec": round(mrays, 1),
                     "bounces": bounces,
+                    "triangles": tris,
+                    "lights": app.renderer.get_num_lights(),
+                    "resolution": f"{width}x{height}",
+                    "compile_s": round(compile_s, 1),
                     "device": str(jax.devices()[0]),
+                    "restir": "initial+temporal+spatial",
                 },
             }
         )

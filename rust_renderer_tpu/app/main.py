@@ -150,23 +150,37 @@ class Application:
 
             self._refresh_view()
 
+            mode = self.render_graph_mode
+            needs_env = mode == RenderGraphMode.RASTERIZED or (
+                mode == RenderGraphMode.PATH_TRACED and self.cfg.sky_mode == "cubemap"
+            )
+            if needs_env and self.renderer.need_environment_map_update:
+                # Environment pipeline as separate setup jits (small compiles),
+                # seeded into the graph's persistent resources — the analog of
+                # the reference's lazily-updated env maps (ibl.rs:63-66).
+                from rust_renderer_tpu.ops.ibl import compute_environment
+
+                with PROFILER.scope("environment_update"):
+                    self.graph.state.update(
+                        compute_environment(self.cfg, self.sun_dir)
+                    )
+                self.renderer.need_environment_map_update = False
+
             with PROFILER.scope("build_graph"):
                 self.graph.new_frame()
                 self.graph.clear()
-                mode = self.render_graph_mode
                 if mode == RenderGraphMode.PATH_TRACED:
                     build_path_tracing_render_graph(
-                        self.graph, self.cfg, self.camera, self.scene_bvh, self.sun_dir
+                        self.graph, self.cfg, self.camera, self.scene_bvh,
+                        self.sun_dir,
                     )
                 elif mode == RenderGraphMode.RASTERIZED:
                     build_render_graph(
                         self.graph, self.cfg, self.camera, self.scene_bvh,
                         self.sun_dir,
-                        need_environment_update=self.renderer.need_environment_map_update,
                         shadows_enabled=bool(int(self.view.shadows_enabled)),
                         marching_cubes_enabled=bool(int(self.view.marching_cubes_enabled)),
                     )
-                    self.renderer.need_environment_map_update = False
                 elif mode == RenderGraphMode.MINIMAL:
                     build_minimal_forward_render_graph(
                         self.graph, self.cfg, self.camera, self.scene_bvh, self.sun_dir

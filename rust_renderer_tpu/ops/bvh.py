@@ -48,6 +48,13 @@ class BVH(NamedTuple):
     leaf_v0: jax.Array  # (L, LEAF_SIZE, 3) f32
     leaf_e1: jax.Array  # (L, LEAF_SIZE, 3) f32 (v1 - v0)
     leaf_e2: jax.Array  # (L, LEAF_SIZE, 3) f32 (v2 - v0)
+    # Packed single-row gather layouts (the hot-path data): TPU gather cost
+    # is per-INDEX, not per-byte (~1.4 ns/row regardless of width), so the
+    # traversal fetches exactly ONE row per step:
+    #   node_packed (N, 8):  min.xyz, max.xyz, miss(bitcast i32), leaf(bitcast)
+    #   leaf_packed (L, 40): 4 x [v0.xyz, e1.xyz, e2.xyz] + 4 tri ids (bitcast)
+    node_packed: jax.Array
+    leaf_packed: jax.Array
 
     @property
     def num_nodes(self) -> int:
@@ -69,22 +76,88 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     return expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
 
 
-def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_SIZE) -> BVH:
-    """Build from (V,3) float32 world positions and (T,3) int32 indices."""
+def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
+              miss, node_leaf, leaf_arr) -> BVH:
+    """Pre-gather leaf triangle vertices and assemble the device arrays."""
+    leaf_size = leaf_arr.shape[1]
+    safe = np.maximum(leaf_arr, 0)
+    l_i = indices[safe]
+    l_v0 = positions[l_i[..., 0]]
+    l_v1 = positions[l_i[..., 1]]
+    l_v2 = positions[l_i[..., 2]]
+    pad = (leaf_arr < 0)[..., None]
+    l_v0 = np.where(pad, 0.0, l_v0).astype(np.float32)
+    l_e1 = np.where(pad, 0.0, l_v1 - l_v0).astype(np.float32)
+    l_e2 = np.where(pad, 0.0, l_v2 - l_v0).astype(np.float32)
+
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    miss_i = np.asarray(miss, np.int32)
+    leaf_i = np.asarray(node_leaf, np.int32)
+    node_packed = np.concatenate(
+        [
+            node_min, node_max,
+            miss_i.astype(np.int32).view(np.float32)[:, None],
+            leaf_i.astype(np.int32).view(np.float32)[:, None],
+        ],
+        axis=1,
+    )
+    n_leaves = leaf_arr.shape[0]
+    # Per-slot layout: slot s occupies columns [9s, 9s+9) as v0.xyz, e1.xyz,
+    # e2.xyz; triangle ids (bitcast) fill the last LEAF_SIZE columns.
+    per_slot = np.concatenate([l_v0, l_e1, l_e2], axis=2)  # (L, LS, 9)
+    leaf_packed = np.concatenate(
+        [
+            per_slot.reshape(n_leaves, -1),
+            leaf_arr.astype(np.int32).view(np.float32),
+        ],
+        axis=1,
+    )
+    return BVH(
+        node_min=jnp.asarray(node_min, jnp.float32),
+        node_max=jnp.asarray(node_max, jnp.float32),
+        node_miss=jnp.asarray(miss_i),
+        node_leaf=jnp.asarray(leaf_i),
+        leaf_tris=jnp.asarray(leaf_arr, jnp.int32),
+        leaf_v0=jnp.asarray(l_v0),
+        leaf_e1=jnp.asarray(l_e1),
+        leaf_e2=jnp.asarray(l_e2),
+        node_packed=jnp.asarray(node_packed),
+        leaf_packed=jnp.asarray(leaf_packed),
+    )
+
+
+def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_SIZE,
+              use_native: bool = True) -> BVH:
+    """Build from (V,3) float32 world positions and (T,3) int32 indices.
+
+    Prefers the native binned-SAH builder (native/bvh_builder.cpp — better
+    trees, ~100x faster host build); falls back to the numpy Morton-median
+    builder below."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int64).reshape(-1, 3)
     n_tris = len(indices)
+
+    if use_native and n_tris > 0:
+        from rust_renderer_tpu import native
+
+        out = native.build_bvh_sah(positions, indices.astype(np.int32), leaf_size)
+        if out is not None:
+            node_min, node_max, node_miss, node_leaf, leaf_tris = out
+            return _finalize(
+                positions, indices, node_min, node_max, node_miss, node_leaf,
+                leaf_tris.astype(np.int64),
+            )
     if n_tris == 0:
         # Degenerate empty BVH: one leaf with no triangles.
-        return BVH(
-            node_min=jnp.zeros((1, 3), jnp.float32),
-            node_max=jnp.zeros((1, 3), jnp.float32),
-            node_miss=jnp.full((1,), -1, jnp.int32),
-            node_leaf=jnp.zeros((1,), jnp.int32),
-            leaf_tris=jnp.full((1, leaf_size), -1, jnp.int32),
-            leaf_v0=jnp.zeros((1, leaf_size, 3), jnp.float32),
-            leaf_e1=jnp.zeros((1, leaf_size, 3), jnp.float32),
-            leaf_e2=jnp.zeros((1, leaf_size, 3), jnp.float32),
+        return _finalize(
+            np.zeros((1, 3), np.float32),
+            np.zeros((1, 3), np.int64),
+            np.zeros((1, 3), np.float32),
+            np.zeros((1, 3), np.float32),
+            np.full(1, -1, np.int32),
+            np.zeros(1, np.int32),
+            np.full((1, leaf_size), -1, np.int64),
         )
 
     v0 = positions[indices[:, 0]]
@@ -159,25 +232,9 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
     miss[0] = -1
 
     leaf_arr = np.stack(leaf_rows) if leaf_rows else np.full((1, leaf_size), -1, np.int64)
-    safe = np.maximum(leaf_arr, 0)
-    l_i = indices[safe]
-    l_v0 = positions[l_i[..., 0]]
-    l_v1 = positions[l_i[..., 1]]
-    l_v2 = positions[l_i[..., 2]]
-    pad = (leaf_arr < 0)[..., None]
-    l_v0 = np.where(pad, 0.0, l_v0)
-    l_e1 = np.where(pad, 0.0, l_v1 - l_v0)
-    l_e2 = np.where(pad, 0.0, l_v2 - l_v0)
-
-    return BVH(
-        node_min=jnp.asarray(np.stack(node_min), jnp.float32),
-        node_max=jnp.asarray(np.stack(node_max), jnp.float32),
-        node_miss=jnp.asarray(miss, jnp.int32),
-        node_leaf=jnp.asarray(np.asarray(node_leaf), jnp.int32),
-        leaf_tris=jnp.asarray(leaf_arr, jnp.int32),
-        leaf_v0=jnp.asarray(l_v0, jnp.float32),
-        leaf_e1=jnp.asarray(l_e1, jnp.float32),
-        leaf_e2=jnp.asarray(l_e2, jnp.float32),
+    return _finalize(
+        positions, indices, np.stack(node_min), np.stack(node_max), miss,
+        np.asarray(node_leaf), leaf_arr,
     )
 
 
@@ -239,17 +296,54 @@ def _leaf_intersect(bvh: BVH, leaf_row, o, d, t_min, best_t, best_prim, best_u, 
     )
 
 
+def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """One packed row per index — the only gather shape that runs near the
+    TPU's per-index throughput floor. table (L, W), idx (R,) -> (R, W)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    return jax.lax.gather(
+        table, idx[:, None], dnums, slice_sizes=(1, table.shape[1]), mode="clip"
+    )
+
+
+def _bitcast_i32(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
 def traverse(bvh: BVH, origin, direction, t_min=1e-3, t_max=1e4, any_hit: bool = False):
     """Closest-hit (or any-hit) traversal over a ray batch (..., 3).
 
     Returns (t, prim, u, v) with t=INF on miss; with any_hit=True terminates
     rays at the first confirmed triangle hit.
+
+    Fused stackless walk over packed rows: every step advances each live lane
+    through one node (one 32-byte row gather) and, for lanes sitting on a
+    leaf, tests its 4 triangles (one 160-byte row gather). Gather cost on TPU
+    is per-index (~1.4 ns/row regardless of width), so exactly two row
+    gathers per lane-step is the floor for a binary tree; iteration count is
+    bounded by the longest single-ray walk (lockstep phase alternation was
+    tried and loses badly under divergence — waiting lanes still pay
+    indices while rounds multiply).
     """
     shape = origin.shape[:-1]
-    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
-                            jnp.where(direction < 0, -1e-12, 1e-12), direction)
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    r = 1
+    for s in shape:
+        r *= s
+    o = origin.reshape(r, 3)
+    d = direction.reshape(r, 3)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape).reshape(r)
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(r)
+
+    ls = bvh.leaf_tris.shape[1]
+
+    # Planar ray components: (R,) arrays keep the minor dimension = lanes, so
+    # every VPU op runs at full register width (a (R,3) layout pads 3 -> 128
+    # and wastes ~40x of each vector op).
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dxc, dyc, dzc = d[:, 0], d[:, 1], d[:, 2]
+    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
 
     def cond(state):
         cur, *_ = state
@@ -258,49 +352,264 @@ def traverse(bvh: BVH, origin, direction, t_min=1e-3, t_max=1e4, any_hit: bool =
     def body(state):
         cur, best_t, best_prim, best_u, best_v = state
         running = cur >= 0
-        node = jnp.maximum(cur, 0)
-        bmin = bvh.node_min[node]
-        bmax = bvh.node_max[node]
-        box_hit = jnp.logical_and(running, _slab_test(origin, inv_d, bmin, bmax, t_min, best_t))
-        leaf_row = bvh.node_leaf[node]
-        is_leaf = leaf_row >= 0
+        row = _row_gather(bvh.node_packed, jnp.maximum(cur, 0))
+        col = lambda j: row[:, j]
+        tx0 = (col(0) - ox) * ix
+        ty0 = (col(1) - oy) * iy
+        tz0 = (col(2) - oz) * iz
+        tx1 = (col(3) - ox) * ix
+        ty1 = (col(4) - oy) * iy
+        tz1 = (col(5) - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        miss = _bitcast_i32(col(6))
+        leaf = _bitcast_i32(col(7))
+        box_hit = jnp.logical_and(tfar >= jnp.maximum(tnear, t_min_v), tnear <= best_t)
+        box_hit = jnp.logical_and(box_hit, running)
+
+        is_leaf = leaf >= 0
         do_leaf = jnp.logical_and(box_hit, is_leaf)
 
-        lt, lp, lu, lv, improved = _leaf_intersect(
-            bvh, jnp.maximum(leaf_row, 0), origin, direction, t_min,
-            best_t, best_prim, best_u, best_v,
-        )
-        best_t = jnp.where(do_leaf, lt, best_t)
-        best_prim = jnp.where(do_leaf, lp, best_prim)
-        best_u = jnp.where(do_leaf, lu, best_u)
-        best_v = jnp.where(do_leaf, lv, best_v)
+        lrow = _row_gather(bvh.leaf_packed, jnp.maximum(leaf, 0))  # (R, 40)
+        improved_any = jnp.zeros_like(do_leaf)
+        # Unrolled leaf slots, all math on (R,) components.
+        for s in range(ls):
+            base = s * 9
+            v0x, v0y, v0z = lrow[:, base], lrow[:, base + 1], lrow[:, base + 2]
+            e1x, e1y, e1z = lrow[:, base + 3], lrow[:, base + 4], lrow[:, base + 5]
+            e2x, e2y, e2z = lrow[:, base + 6], lrow[:, base + 7], lrow[:, base + 8]
+            tri_id = _bitcast_i32(lrow[:, 9 * ls + s])
+            # pvec = d x e2
+            px_ = dyc * e2z - dzc * e2y
+            py_ = dzc * e2x - dxc * e2z
+            pz_ = dxc * e2y - dyc * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+            # qvec = tvec x e1
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                do_leaf
+                & (tri_id >= 0)
+                & (jnp.abs(det) > 1e-12)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > t_min_v) & (t < best_t)
+            )
+            best_t = jnp.where(ok, t, best_t)
+            best_prim = jnp.where(ok, tri_id, best_prim)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+            improved_any = jnp.logical_or(improved_any, ok)
 
         descend = jnp.logical_and(box_hit, jnp.logical_not(is_leaf))
-        nxt = jnp.where(descend, cur + 1, bvh.node_miss[node])
+        nxt = jnp.where(descend, cur + 1, miss)
         cur = jnp.where(running, nxt, cur)
         if any_hit:
-            cur = jnp.where(jnp.logical_and(do_leaf, improved), -1, cur)
+            cur = jnp.where(improved_any, -1, cur)
         return cur, best_t, best_prim, best_u, best_v
 
     init = (
-        jnp.zeros(shape, jnp.int32),
-        jnp.minimum(jnp.full(shape, rayops.INF), t_max),
-        jnp.full(shape, -1, jnp.int32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(r, jnp.int32),
+        jnp.minimum(jnp.full(r, rayops.INF), t_max_v),
+        jnp.full(r, -1, jnp.int32),
+        jnp.zeros(r, jnp.float32),
+        jnp.zeros(r, jnp.float32),
     )
     cur, t, prim, u, v = jax.lax.while_loop(cond, body, init)
     t = jnp.where(prim >= 0, t, rayops.INF)
-    return t, prim, u, v
+    return (
+        t.reshape(shape), prim.reshape(shape), u.reshape(shape), v.reshape(shape)
+    )
 
 
-def make_closest_hit(bvh: BVH):
+def traverse_packet(
+    bvh: BVH, origin, direction, t_min=1e-3, t_max=1e4,
+    any_hit: bool = False, packet: int = 256, tile: int = 16,
+):
+    """Packet traversal: blocks of rays share ONE traversal cursor.
+
+    The per-ray walk's gathers lower to table-scanning reductions on TPU
+    (cost ∝ rays x nodes — measured 82% of traversal time). Packets make the
+    random access *scalar per block*: each step gathers `n_blocks` node rows
+    (thousands, not millions of indices) and tests the whole block against
+    that node with dense (B, P) vector math — the classic SIMD packet-tracing
+    design, which is exactly what a TPU wants. A block descends when ANY of
+    its rays hits the box (per-ray t-culling still applies inside).
+
+    (..., 3) ray arrays; image-shaped inputs (H, W, 3) are tiled `tile`x`tile`
+    so packets are spatially coherent. Divergent (bounce) rays degrade toward
+    union-of-paths traversal — still bounded by the single-ray worst case
+    times packet overlap.
+    """
+    shape = origin.shape[:-1]
+    if len(shape) == 2 and shape[0] % tile == 0 and shape[1] % tile == 0:
+        h, w = shape
+        o = origin.reshape(h // tile, tile, w // tile, tile, 3)
+        o = o.transpose(0, 2, 1, 3, 4).reshape(-1, tile * tile, 3)
+        d = direction.reshape(h // tile, tile, w // tile, tile, 3)
+        d = d.transpose(0, 2, 1, 3, 4).reshape(-1, tile * tile, 3)
+        packet = tile * tile
+
+        def unshape(x):
+            x = x.reshape(h // tile, w // tile, tile, tile)
+            return x.transpose(0, 2, 1, 3).reshape(h, w)
+
+    else:
+        r = 1
+        for s in shape:
+            r *= s
+        pad = (-r) % packet
+        o = jnp.pad(origin.reshape(-1, 3), ((0, pad), (0, 0)))
+        d = jnp.pad(direction.reshape(-1, 3), ((0, pad), (0, 0)),
+                    constant_values=1.0)
+        o = o.reshape(-1, packet, 3)
+        d = d.reshape(-1, packet, 3)
+
+        def unshape(x):
+            return x.reshape(-1)[:r].reshape(shape)
+
+    b = o.shape[0]
+    p = packet
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]  # (B, P)
+    dxc, dyc, dzc = d[..., 0], d[..., 1], d[..., 2]
+    safe = lambda a: jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+    ix, iy, iz = 1.0 / safe(dxc), 1.0 / safe(dyc), 1.0 / safe(dzc)
+    t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    t_min_v = _tile_like(t_min_v, shape, tile, packet)
+    t_max_v = _tile_like(t_max_v, shape, tile, packet)
+
+    ls = bvh.leaf_tris.shape[1]
+
+    def cond(state):
+        cur, *_ = state
+        return jnp.any(cur >= 0)
+
+    def body(state):
+        cur, best_t, best_prim, best_u, best_v, done = state
+        running = cur >= 0  # (B,)
+        row = _row_gather(bvh.node_packed, jnp.maximum(cur, 0))  # (B, 8)
+        col = lambda j: row[:, j : j + 1]  # (B, 1) broadcast over P
+        tx0 = (col(0) - ox) * ix
+        ty0 = (col(1) - oy) * iy
+        tz0 = (col(2) - oz) * iz
+        tx1 = (col(3) - ox) * ix
+        ty1 = (col(4) - oy) * iy
+        tz1 = (col(5) - oz) * iz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        miss = _bitcast_i32(row[:, 6])  # (B,)
+        leaf = _bitcast_i32(row[:, 7])
+        ray_hit = (
+            (tfar >= jnp.maximum(tnear, t_min_v))
+            & (tnear <= best_t)
+            & jnp.logical_not(done)
+        )  # (B, P)
+        block_hit = jnp.logical_and(running, jnp.any(ray_hit, axis=-1))  # (B,)
+
+        is_leaf = leaf >= 0
+        do_leaf = jnp.logical_and(block_hit, is_leaf)  # (B,)
+
+        lrow = _row_gather(bvh.leaf_packed, jnp.maximum(leaf, 0))  # (B, 9ls+ls)
+        lc = lambda j: lrow[:, j : j + 1]  # (B, 1)
+        improved_any = jnp.zeros_like(ray_hit)
+        for s in range(ls):
+            base = s * 9
+            v0x, v0y, v0z = lc(base), lc(base + 1), lc(base + 2)
+            e1x, e1y, e1z = lc(base + 3), lc(base + 4), lc(base + 5)
+            e2x, e2y, e2z = lc(base + 6), lc(base + 7), lc(base + 8)
+            tri_id = _bitcast_i32(lrow[:, 9 * ls + s])[:, None]  # (B, 1)
+            px_ = dyc * e2z - dzc * e2y
+            py_ = dzc * e2x - dxc * e2z
+            pz_ = dxc * e2y - dyc * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                do_leaf[:, None]
+                & (tri_id >= 0)
+                & (jnp.abs(det) > 1e-12)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > t_min_v) & (t < best_t)
+                & jnp.logical_not(done)
+            )
+            best_t = jnp.where(ok, t, best_t)
+            best_prim = jnp.where(ok, jnp.broadcast_to(tri_id, ok.shape), best_prim)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+            improved_any = jnp.logical_or(improved_any, ok)
+
+        if any_hit:
+            done = jnp.logical_or(done, improved_any)
+
+        descend = jnp.logical_and(block_hit, jnp.logical_not(is_leaf))
+        nxt = jnp.where(descend, cur + 1, miss)
+        cur = jnp.where(running, nxt, cur)
+        if any_hit:
+            cur = jnp.where(jnp.all(done, axis=-1), -1, cur)
+        return cur, best_t, best_prim, best_u, best_v, done
+
+    init = (
+        jnp.zeros(b, jnp.int32),
+        jnp.minimum(jnp.full((b, p), rayops.INF), t_max_v),
+        jnp.full((b, p), -1, jnp.int32),
+        jnp.zeros((b, p), jnp.float32),
+        jnp.zeros((b, p), jnp.float32),
+        jnp.zeros((b, p), bool),
+    )
+    cur, t, prim, u, v, done = jax.lax.while_loop(cond, body, init)
+    t = jnp.where(prim >= 0, t, rayops.INF)
+    return unshape(t), unshape(prim), unshape(u), unshape(v)
+
+
+def _tile_like(x, shape, tile, packet):
+    """Reshape a (...,) scalar-broadcast array the same way the rays were."""
+    if len(shape) == 2 and shape[0] % tile == 0 and shape[1] % tile == 0:
+        h, w = shape
+        return (
+            x.reshape(h // tile, tile, w // tile, tile)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, tile * tile)
+        )
+    r = 1
+    for s in shape:
+        r *= s
+    pad = (-r) % packet
+    return jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, packet)
+
+
+def make_closest_hit(bvh: BVH, packet: bool = True):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
-    intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends)."""
+    intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
+    packet=True uses coherent packet traversal (~40x faster on TPU)."""
+    trav = traverse_packet if packet else traverse
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
-        t, prim, u, v = traverse(bvh, origin, direction, t_min, t_max)
+        t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
         best = Hit(
             t=t,
             kind=jnp.where(prim >= 0, HIT_TRIANGLE, HIT_NONE),
@@ -315,9 +624,11 @@ def make_closest_hit(bvh: BVH):
     return closest_hit
 
 
-def make_any_hit(bvh: BVH):
+def make_any_hit(bvh: BVH, packet: bool = True):
+    trav = traverse_packet if packet else traverse
+
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
-        t, prim, _, _ = traverse(bvh, origin, direction, t_min, t_max, any_hit=True)
+        t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)
         hit = prim >= 0
         if scene.sphere_center.shape[0] > 0:
             from rust_renderer_tpu.ops.intersect import _intersect_spheres

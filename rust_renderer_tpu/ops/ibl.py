@@ -125,6 +125,35 @@ def specular_prefilter(env_chain: list[jax.Array], mips: int = 8,
     return out
 
 
+def compute_environment(cfg, sun_dir, lut_samples: int = 256) -> dict:
+    """Run the whole environment pipeline as SEPARATE jitted steps, returning
+    the persistent-resource dict used by the render graphs. Splitting keeps
+    each compile small (the one-frame-one-program graph would otherwise fuse
+    the 15k-sample irradiance loop into every first frame's executable)."""
+    import functools
+
+    sun = jnp.asarray(sun_dir, jnp.float32)
+    capture = jax.jit(
+        functools.partial(
+            capture_environment_cubemap, size=cfg.cubemap_size, mips=cfg.cubemap_mips
+        )
+    )
+    chain = capture(sun)
+    irr = jax.jit(
+        functools.partial(irradiance_convolution, size=cfg.irradiance_size)
+    )(chain[min(2, len(chain) - 1)])
+    spec = jax.jit(
+        lambda *c: specular_prefilter(list(c), cfg.cubemap_mips)
+    )(*chain)
+    lut = jax.jit(lambda: brdf_lut(cfg.brdf_lut_size, lut_samples))()
+
+    out = {"irradiance_map": irr, "brdf_lut": lut}
+    for m in range(cfg.cubemap_mips):
+        out[f"env_cubemap_mip{m}"] = chain[m] if m < len(chain) else chain[-1]
+        out[f"specular_map_mip{m}"] = spec[m] if m < len(spec) else chain[-1]
+    return out
+
+
 def brdf_lut(size: int = 512, num_samples: int = 1024) -> jax.Array:
     """Split-sum BRDF integration LUT (brdf_lut.frag): (size, size, 2) of
     (scale, bias) indexed by (NdotV, roughness-from-top)."""

@@ -101,6 +101,7 @@ def path_trace(
     any_hit: Callable | None = None,
     row_offset: jax.Array | int = 0,
     full_size: tuple[int, int] | None = None,
+    sky_fn: Callable | None = None,
 ) -> PathTraceResult:
     """One frame of the reference path tracer over the full image.
 
@@ -143,11 +144,17 @@ def path_trace(
             hit = closest_hit(scene, origin, direction)
             missed = jnp.logical_not(hit.is_hit)
 
-            # Miss shader (reference.rmiss): atmosphere sky, clamped.
-            sky = atmosphere.sky_radiance(
-                origin, rayops.normalize(direction), rayops.normalize(view.sun_dir),
-                view.sky_enabled,
-            )
+            # Miss shader (reference.rmiss): atmosphere sky, clamped. A
+            # custom sky_fn (e.g. the captured environment cubemap — the
+            # reference's own TODO at reference.rmiss:20) replaces the
+            # per-ray scattering integral: ~100x fewer flops per miss lane.
+            if sky_fn is not None:
+                sky = sky_fn(origin, rayops.normalize(direction), view)
+            else:
+                sky = atmosphere.sky_radiance(
+                    origin, rayops.normalize(direction),
+                    rayops.normalize(view.sun_dir), view.sky_enabled,
+                )
 
             surf = intersect.surface_at_hit(scene, hit, origin, direction)
             rng_state, sc = materials.scatter(

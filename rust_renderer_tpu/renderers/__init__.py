@@ -135,9 +135,16 @@ def _rng_for(view, shape_hw):
 
 def build_path_tracing_render_graph(
     graph: Graph, cfg, camera, scene_bvh, sun_dir,
+    need_environment_update: bool = False,
 ) -> None:
     """PT graph with the ReSTIR chain (mod.rs:189-375)."""
     w, h = cfg.width, cfg.height
+
+    if cfg.sky_mode == "cubemap":
+        if need_environment_update:
+            setup_environment_passes(graph, cfg, sun_dir)
+        else:
+            _declare_env_resources(graph, cfg)
 
     # 1. gbuffer (hit positions for the ReSTIR passes, mod.rs:246-254).
     setup_gbuffer_pass(graph, scene_bvh, w, h)
@@ -218,12 +225,24 @@ def build_path_tracing_render_graph(
     # 6. reference PT with reservoir NEE (mod.rs:345-358, reference.rgen).
     closest = bvh_ops.make_closest_hit(scene_bvh)
     any_hit = bvh_ops.make_any_hit(scene_bvh)
+    use_cubemap_sky = cfg.sky_mode == "cubemap"
 
     def reference_pt(res, scene, view, u):
         reservoirs = _read_reservoir(res, "spatial_reuse_reservoirs")
+        sky_fn = None
+        if use_cubemap_sky:
+            from rust_renderer_tpu.ops.cubemap import sample_cubemap
+
+            env = res["env_cubemap_mip0"]
+
+            def sky_fn(origin, direction, view):
+                s = sample_cubemap(env, direction)
+                return jnp.where((view.sky_enabled == 1)[..., None], s, 0.0)
+
         result = pathtrace_ops.path_trace(
             scene, view, cfg, res["accumulation_image"],
             reservoirs=reservoirs, closest_hit=closest, any_hit=any_hit,
+            sky_fn=sky_fn,
         )
         return {
             "pt_output": result.output,

@@ -57,6 +57,10 @@ class StaticConfig:
     spatial_neighbors: int = 5
     spatial_radius: int = 30
     max_num_lights: int = 1024
+    # Path-tracer miss shading: "exact" integrates the atmosphere per miss
+    # ray (reference.rmiss behavior); "cubemap" samples the captured
+    # environment map (the reference's own TODO, ~100x cheaper).
+    sky_mode: str = "exact"
 
     def replace(self, **kw: Any) -> "StaticConfig":
         return dataclasses.replace(self, **kw)
