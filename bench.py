@@ -48,7 +48,7 @@ def main() -> int:
     app.run(num_frames=2)
     compile_s = time.perf_counter() - t_compile0
 
-    n_frames = 5 if small else 15
+    n_frames = 5 if small else 4
     t0 = time.perf_counter()
     last = app.run(num_frames=n_frames)
     jax.block_until_ready(app.graph.state["accumulation_image"])

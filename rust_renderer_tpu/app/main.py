@@ -123,14 +123,14 @@ class Application:
         """main.rs:459-471."""
         w, h = self.cfg.width, self.cfg.height
         self.total_samples += self.cfg.samples_per_frame
-        prev_pv = jnp.asarray(
+        prev_pv = (
             np.asarray(self.view.projection) @ np.asarray(self.view.view)
-        )
+        ).astype(np.float32)
         self.view = self.view.with_camera(self.camera, w, h).replace(
-            total_samples=jnp.asarray(self.total_samples, jnp.uint32),
-            time=jnp.asarray(self.fps_timer.elapsed_seconds(), jnp.float32),
-            num_lights=jnp.asarray(self.renderer.get_num_lights(), jnp.int32),
-            sun_dir=jnp.asarray(self.sun_dir),
+            total_samples=np.uint32(self.total_samples),
+            time=np.float32(self.fps_timer.elapsed_seconds()),
+            num_lights=np.int32(self.renderer.get_num_lights()),
+            sun_dir=np.asarray(self.sun_dir, np.float32),
         )
         # Saved for ReSTIR temporal backprojection (main.rs:545-546).
         self._pending_prev_pv = prev_pv

@@ -43,13 +43,18 @@ class Ui:
         self._prev_snapshot: tuple | None = None
 
     def _snapshot(self, view, cfg) -> tuple:
+        import numpy as np
+
         vals = []
         for f in _TRACKED:
             v = getattr(view, f, None)
             if v is None:
                 v = getattr(cfg, f, None)
             if hasattr(v, "tolist"):
-                v = tuple(jnp.asarray(v).reshape(-1).tolist())
+                # One host conversion; np.asarray on a device array blocks,
+                # so keep these scalars host-side where possible (the app
+                # stores settings as numpy; only traced pipelines move them).
+                v = tuple(np.asarray(v).reshape(-1).tolist())
             vals.append((f, v))
         return tuple(vals)
 

@@ -419,8 +419,9 @@ def traverse(bvh: BVH, origin, direction, t_min=1e-3, t_max=1e4, any_hit: bool =
             cur = jnp.where(improved_any, -1, cur)
         return cur, best_t, best_prim, best_u, best_v
 
+    degenerate = jnp.sum(d * d, axis=-1) < 1e-12
     init = (
-        jnp.zeros(r, jnp.int32),
+        jnp.where(degenerate, -1, 0).astype(jnp.int32),
         jnp.minimum(jnp.full(r, rayops.INF), t_max_v),
         jnp.full(r, -1, jnp.int32),
         jnp.zeros(r, jnp.float32),
@@ -572,17 +573,73 @@ def traverse_packet(
             cur = jnp.where(jnp.all(done, axis=-1), -1, cur)
         return cur, best_t, best_prim, best_u, best_v, done
 
+    # Degenerate rays (zero-length scatter directions, e.g. lambertian
+    # normal+unit_sphere ~ 0) would otherwise walk the entire tree and stall
+    # their whole packet: mark them done up front.
+    degenerate = (dxc * dxc + dyc * dyc + dzc * dzc) < 1e-12
     init = (
         jnp.zeros(b, jnp.int32),
         jnp.minimum(jnp.full((b, p), rayops.INF), t_max_v),
         jnp.full((b, p), -1, jnp.int32),
         jnp.zeros((b, p), jnp.float32),
         jnp.zeros((b, p), jnp.float32),
-        jnp.zeros((b, p), bool),
+        degenerate,
     )
     cur, t, prim, u, v, done = jax.lax.while_loop(cond, body, init)
     t = jnp.where(prim >= 0, t, rayops.INF)
     return unshape(t), unshape(prim), unshape(u), unshape(v)
+
+
+def traverse_packet_sorted(
+    bvh: BVH, origin, direction, t_min=1e-3, t_max=1e4,
+    any_hit: bool = False, packet: int = 256,
+):
+    """Packet traversal over rays re-ordered for coherence.
+
+    Bounce/shadow rays lose the spatial coherence that makes packets fast;
+    sorting by (direction octant, origin Morton cell) re-forms coherent
+    packets. Sort + permute costs a few ms; divergent traversals cost
+    hundreds. Results are scattered back to the original order (exact)."""
+    shape = origin.shape[:-1]
+    o = origin.reshape(-1, 3)
+    d = direction.reshape(-1, 3)
+    r = o.shape[0]
+
+    # Key: 3-bit direction octant (major) then 6-bit/axis origin Morton.
+    scene_lo = bvh.node_min[0]
+    scene_span = jnp.maximum(bvh.node_max[0] - scene_lo, 1e-6)
+    q = jnp.clip(((o - scene_lo) / scene_span * 64.0), 0, 63).astype(jnp.uint32)
+
+    def expand6(v):
+        v = v & jnp.uint32(0x3F)
+        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0300F)
+        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x030C3)
+        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249)
+        return v
+
+    morton = expand6(q[:, 0]) | (expand6(q[:, 1]) << jnp.uint32(1)) | (
+        expand6(q[:, 2]) << jnp.uint32(2)
+    )
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.uint32)
+        | ((d[:, 1] >= 0).astype(jnp.uint32) << jnp.uint32(1))
+        | ((d[:, 2] >= 0).astype(jnp.uint32) << jnp.uint32(2))
+    )
+    key = (octant << jnp.uint32(18)) | morton
+    order = jnp.argsort(key)
+
+    t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape).reshape(-1)
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
+
+    t, prim, u, v = traverse_packet(
+        bvh, o[order], d[order], t_min_v[order], t_max_v[order],
+        any_hit=any_hit, packet=packet,
+    )
+    inv = jnp.argsort(order)
+    return (
+        t[inv].reshape(shape), prim[inv].reshape(shape),
+        u[inv].reshape(shape), v[inv].reshape(shape),
+    )
 
 
 def _tile_like(x, shape, tile, packet):
@@ -601,12 +658,16 @@ def _tile_like(x, shape, tile, packet):
     return jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, packet)
 
 
-def make_closest_hit(bvh: BVH, packet: bool = True):
+def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
-    packet=True uses coherent packet traversal (~40x faster on TPU)."""
-    trav = traverse_packet if packet else traverse
+    packet=True uses coherent packet traversal (~40x faster on TPU);
+    sort=True additionally re-orders rays for coherence (bounce rays)."""
+    if sort:
+        trav = traverse_packet_sorted
+    else:
+        trav = traverse_packet if packet else traverse
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
         t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
@@ -624,8 +685,11 @@ def make_closest_hit(bvh: BVH, packet: bool = True):
     return closest_hit
 
 
-def make_any_hit(bvh: BVH, packet: bool = True):
-    trav = traverse_packet if packet else traverse
+def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False):
+    if sort:
+        trav = traverse_packet_sorted
+    else:
+        trav = traverse_packet if packet else traverse
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)

@@ -81,8 +81,10 @@ def _intersect_triangles_chunked(scene, origin, direction, t_min, t_max, best: H
         # Broadcast rays (...,1,3) against chunk (C,3).
         o = origin[..., None, :]
         d = direction[..., None, :]
+        tmin_b = jnp.asarray(t_min)[..., None] if jnp.ndim(t_min) > 0 else t_min
+        tmax_b = jnp.asarray(t_max)[..., None] if jnp.ndim(t_max) > 0 else t_max
         t, u, v, hit = rayops.intersect_triangle(
-            o, d, tv[:, 0], tv[:, 1], tv[:, 2], t_min, t_max
+            o, d, tv[:, 0], tv[:, 1], tv[:, 2], tmin_b, tmax_b
         )  # (..., C)
         # Padded (degenerate) triangles produce det==0 -> miss.
         arg = jnp.argmin(t, axis=-1)

@@ -57,7 +57,7 @@ def scatter(
     tex_rgb = sample_texture_bilinear(scene.textures, diffuse_map, uv)[..., :3]
     albedo = tex_rgb * base_color
 
-    state, unit_sphere = rngmod.random_in_unit_sphere(state)
+    state, unit_sphere = rngmod.random_in_unit_sphere_fast(state)
     state, rand_refl = rngmod.random_float(state)
 
     dirn = rayops.normalize(ray_dir)

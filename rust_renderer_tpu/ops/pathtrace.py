@@ -33,40 +33,31 @@ class PathTraceResult(NamedTuple):
     accumulation: jax.Array  # (H, W, 3) f32 linear — accumulation_image
 
 
-def _nee_sun(scene, view, any_hit, origin, direction_unused, throughput, active, radiance):
-    """Sun NEE (reference.rgen:63-79): binary visibility, adds throughput."""
-    sun_dir = rayops.normalize(view.sun_dir)
-    occluded = any_hit(scene, origin, jnp.broadcast_to(sun_dir, origin.shape))
-    visible = jnp.logical_and(active, jnp.logical_not(occluded))
-    add = jnp.where(
-        jnp.logical_and(visible, view.sun_shadow_enabled == 1)[..., None], throughput, 0.0
-    )
-    return radiance + add
+def _nee(scene, view, any_hit, rng_state, origin, throughput, active,
+         radiance, reservoirs, px, full_width):
+    """Next-event estimation: sun (reference.rgen:63-79) + point light
+    (reference.rgen:80-125).
 
-
-def _nee_lights(scene, view, closest_hit, rng_state, origin, throughput, active,
-                radiance, reservoirs, px, full_width):
-    """Point-light NEE (reference.rgen:80-125)."""
+    Both visibility queries are BATCHED into one any-hit traversal over a
+    doubled ray front (sun rays stacked above light rays) — halves the number
+    of traversal loops per bounce. Light occlusion uses a distance-limited
+    any-hit, equivalent to the reference's `hit_t > distance || miss` test.
+    """
     shape = rng_state.shape
+    sun_dir = rayops.normalize(view.sun_dir)
 
-    # Reservoir path applies on the right half when RIS sampling is on
-    # (reference.rgen:86-103; the inner 'fresh resample' branch is dead code
-    # there — the right half always reads the reservoir buffer).
+    # -- light selection (uniform or reservoir; reference.rgen:86-109)
     use_reservoir = jnp.logical_and(
         px > full_width // 2, view.use_ris_light_sampling == 1
     )
-
     rng_state, uni_idx, uni_pdf = restirops.sample_light_uniform(
         rng_state, view.num_lights, view.max_num_lights_used
     )
     uni_weight = 1.0 / uni_pdf
-
     if reservoirs is not None:
-        res_idx = reservoirs.Y
-        res_weight = reservoirs.W_X
         total_weights = jnp.where(use_reservoir, reservoirs.W_sum, 1.0)
-        light_index = jnp.where(use_reservoir, res_idx, uni_idx)
-        light_weight = jnp.where(use_reservoir, res_weight, uni_weight)
+        light_index = jnp.where(use_reservoir, reservoirs.Y, uni_idx)
+        light_weight = jnp.where(use_reservoir, reservoirs.W_X, uni_weight)
     else:
         total_weights = jnp.ones(shape, jnp.float32)
         light_index = uni_idx
@@ -79,14 +70,32 @@ def _nee_lights(scene, view, closest_hit, rng_state, origin, throughput, active,
     distance_to_light = jnp.linalg.norm(to_light, axis=-1)
     light_dir = to_light / jnp.maximum(distance_to_light, 1e-12)[..., None]
 
-    hit = closest_hit(scene, origin, light_dir)
-    unoccluded = jnp.logical_or(hit.t > distance_to_light, jnp.logical_not(hit.is_hit))
+    # -- one batched occlusion query: [sun rays; light rays]
+    o2 = jnp.concatenate([origin, origin], axis=0)
+    d2 = jnp.concatenate(
+        [jnp.broadcast_to(sun_dir, origin.shape), light_dir], axis=0
+    )
+    tmax2 = jnp.concatenate(
+        [jnp.full(shape, 1e4), distance_to_light * (1.0 - 1e-4)], axis=0
+    )
+    occluded2 = any_hit(scene, o2, d2, 1e-3, tmax2)
+    n = shape[0]
+    sun_occluded = occluded2[:n]
+    light_occluded = occluded2[n:]
 
+    # sun contribution (reference.rgen:70-79)
+    sun_visible = jnp.logical_and(active, jnp.logical_not(sun_occluded))
+    radiance = radiance + jnp.where(
+        jnp.logical_and(sun_visible, view.sun_shadow_enabled == 1)[..., None],
+        throughput, 0.0,
+    )
+
+    # light contribution (reference.rgen:111-125)
     p_hat = restirops.target_function(scene, light_index, origin)
     contrib = (p_hat * light_weight)[..., None] * throughput
     take = jnp.logical_and(
         jnp.logical_and(active, valid),
-        jnp.logical_and(unoccluded, view.lights_enabled == 1),
+        jnp.logical_and(jnp.logical_not(light_occluded), view.lights_enabled == 1),
     )
     return rng_state, radiance + jnp.where(take[..., None], contrib, 0.0)
 
@@ -113,7 +122,8 @@ def path_trace(
     single-chip one (SURVEY.md §5.7).
     """
     if any_hit is None:
-        any_hit = lambda s, o, d: closest_hit(s, o, d).is_hit
+        def any_hit(s, o, d, t_min=1e-3, t_max=1e4):
+            return closest_hit(s, o, d, t_min, t_max).is_hit
 
     height, width = accumulation.shape[:2]
     full_height, full_width = full_size if full_size is not None else (height, width)
@@ -177,12 +187,10 @@ def path_trace(
             origin = jnp.where(active[..., None], new_origin, origin)
             direction = jnp.where(active[..., None], sc.direction, direction)
 
-            # NEE at the new origin (reference.rgen:63-125).
-            radiance = _nee_sun(
-                scene, view, any_hit, origin, direction, throughput, active, radiance
-            )
-            rng_state, radiance = _nee_lights(
-                scene, view, closest_hit, rng_state, origin, throughput, active,
+            # NEE at the new origin (reference.rgen:63-125); sun + light
+            # visibility batched into one traversal.
+            rng_state, radiance = _nee(
+                scene, view, any_hit, rng_state, origin, throughput, active,
                 radiance, reservoirs, px, full_width,
             )
 

@@ -95,6 +95,29 @@ def random_in_unit_sphere(state: jax.Array) -> tuple[jax.Array, jax.Array]:
     return state, point
 
 
+def random_in_unit_sphere_fast(state: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Loop-free uniform point in the unit ball (same distribution as the
+    rejection sampler): isotropic Gaussian direction (Box-Muller) scaled by
+    cbrt(u). Device while-loops carry real per-iteration kernel-launch cost
+    on TPU, so the hot path avoids the rejection loop; the draw sequence
+    differs from random.glsl, which only matters for bit-parity (we compare
+    by RMSE, SURVEY.md §7.3 item 6)."""
+    state, u1 = random_float(state)
+    state, u2 = random_float(state)
+    state, u3 = random_float(state)
+    state, u4 = random_float(state)
+    state, u5 = random_float(state)
+    r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-10)))
+    g0 = r1 * jnp.cos(2.0 * jnp.pi * u2)
+    g1 = r1 * jnp.sin(2.0 * jnp.pi * u2)
+    r2 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u3, 1e-10)))
+    g2 = r2 * jnp.cos(2.0 * jnp.pi * u4)
+    norm = jnp.sqrt(jnp.maximum(g0 * g0 + g1 * g1 + g2 * g2, 1e-20))
+    radius = jnp.power(jnp.maximum(u5, 1e-12), 1.0 / 3.0)
+    scale = (radius / norm)[..., None]
+    return state, jnp.stack([g0, g1, g2], axis=-1) * scale
+
+
 def random_in_unit_disk(state: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Rejection sampling in the unit disk (random.glsl:49-58)."""
 

@@ -159,7 +159,9 @@ def setup_environment_passes(graph: Graph, cfg, sun_dir) -> None:
         chain = ibl_ops.capture_environment_cubemap(
             view.sun_dir, cfg.cubemap_size, mips
         )
-        irr = ibl_ops.irradiance_convolution(chain[2], cfg.irradiance_size)
+        irr = ibl_ops.irradiance_convolution(
+            chain[min(2, len(chain) - 1)], cfg.irradiance_size
+        )
         spec = ibl_ops.specular_prefilter(chain, mips)
         lut = ibl_ops.brdf_lut(cfg.brdf_lut_size, num_samples=256)
         out = {"irradiance_map": irr, "brdf_lut": lut}
@@ -356,7 +358,8 @@ def setup_atmosphere_pass(graph: Graph, cfg, width: int, height: int,
         )
         sun = view.sun_dir / jnp.linalg.norm(view.sun_dir)
         live = atmosphere_ops.sky_radiance(o, d, sun, view.sky_enabled)
-        cached = sample_cubemap(res["env_cubemap_mip2"], d)
+        mip = min(2, cfg.cubemap_mips - 1)  # LOD 2 (atmosphere.frag)
+        cached = sample_cubemap(res[f"env_cubemap_mip{mip}"], d)
         cached = jnp.where((view.sky_enabled == 1)[..., None], cached, 0.0)
         sky = jnp.where((view.cubemap_enabled == 1)[..., None], cached, live)
 
@@ -371,7 +374,7 @@ def setup_atmosphere_pass(graph: Graph, cfg, width: int, height: int,
 
     (
         graph.add_pass("atmosphere")
-        .read("gbuffer_depth").read("env_cubemap_mip2")
+        .read("gbuffer_depth").read(f"env_cubemap_mip{min(2, cfg.cubemap_mips - 1)}")
         .write(target)
         .render(render)
         .build()

@@ -123,23 +123,25 @@ class RenderSettings:
         projection = (
             np.asarray(projection, np.float32) if projection is not None else eye4
         )
-        f = jnp.float32
-        i = jnp.int32
+        # Host (numpy) leaves: jit transfers them per call; keeping settings
+        # host-side means UI change-tracking never blocks on device readback.
+        f = np.float32
+        i = np.int32
 
-        def flag(v: int) -> jax.Array:
-            return jnp.asarray(v, jnp.int32)
+        def flag(v: int):
+            return np.int32(v)
 
         return RenderSettings(
-            view=jnp.asarray(view),
-            projection=jnp.asarray(projection),
-            inverse_view=jnp.asarray(np.linalg.inv(view)),
-            inverse_projection=jnp.asarray(np.linalg.inv(projection)),
-            prev_frame_projection_view=jnp.asarray(projection @ view),
-            eye_pos=jnp.asarray(eye_pos, f),
-            sun_dir=jnp.asarray(sun_dir, f),
-            total_samples=jnp.asarray(0, jnp.uint32),
-            time=jnp.asarray(0.0, f),
-            num_lights=jnp.asarray(num_lights, i),
+            view=view,
+            projection=projection,
+            inverse_view=np.linalg.inv(view).astype(np.float32),
+            inverse_projection=np.linalg.inv(projection).astype(np.float32),
+            prev_frame_projection_view=(projection @ view).astype(np.float32),
+            eye_pos=np.asarray(eye_pos, f),
+            sun_dir=np.asarray(sun_dir, f),
+            total_samples=np.uint32(0),
+            time=np.float32(0.0),
+            num_lights=np.int32(num_lights),
             shadows_enabled=flag(1),
             ssao_enabled=flag(1),
             fxaa_enabled=flag(1),
@@ -148,12 +150,12 @@ class RenderSettings:
             sky_enabled=flag(1),
             sun_shadow_enabled=flag(1),
             lights_enabled=flag(1),
-            max_num_lights_used=jnp.asarray(1024, i),
+            max_num_lights_used=np.int32(1024),
             marching_cubes_enabled=flag(0),
             temporal_reuse_enabled=flag(1),
             spatial_reuse_enabled=flag(1),
             rebuild_tlas=flag(0),
-            accumulation_limit=jnp.asarray(999999, i),
+            accumulation_limit=np.int32(999999),
             use_ris_light_sampling=flag(0),
             raytracing_supported=flag(1),
         )
@@ -164,11 +166,11 @@ class RenderSettings:
         proj = camera.get_projection()
         return dataclasses.replace(
             self,
-            view=jnp.asarray(view),
-            projection=jnp.asarray(proj),
-            inverse_view=jnp.asarray(np.linalg.inv(view)),
-            inverse_projection=jnp.asarray(np.linalg.inv(proj)),
-            eye_pos=jnp.asarray(camera.get_position(), jnp.float32),
+            view=view,
+            projection=proj,
+            inverse_view=np.linalg.inv(view).astype(np.float32),
+            inverse_projection=np.linalg.inv(proj).astype(np.float32),
+            eye_pos=np.asarray(camera.get_position(), np.float32),
         )
 
     def replace(self, **kw: Any) -> "RenderSettings":

@@ -19,7 +19,7 @@ def _setup():
     cam = rt.Camera([0, 1, 4], [0, 0.5, -1], aspect_ratio=1.0)
     create_rtiow_scene(r, cam)
     scene = r.pack()
-    cfg = StaticConfig(width=SIZE, height=SIZE, samples_per_frame=1, num_bounces=2)
+    cfg = StaticConfig(width=SIZE, height=SIZE, samples_per_frame=1, num_bounces=1)
     view = RenderSettings.default(num_lights=0).with_camera(cam, SIZE, SIZE)
     view = view.replace(total_samples=jnp.uint32(1), lights_enabled=jnp.int32(0))
     return scene, cfg, view

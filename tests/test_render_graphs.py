@@ -19,8 +19,8 @@ from rust_renderer_tpu.utils import math3d
 
 W = H = 32
 CFG = StaticConfig(
-    width=W, height=H, shadow_map_size=64, cubemap_size=32, cubemap_mips=3,
-    irradiance_size=8, brdf_lut_size=32, num_bounces=2,
+    width=W, height=H, shadow_map_size=64, cubemap_size=16, cubemap_mips=2,
+    irradiance_size=8, brdf_lut_size=16, num_bounces=1,
 )
 
 
