@@ -180,6 +180,7 @@ class Application:
                         self.sun_dir,
                         shadows_enabled=bool(int(self.view.shadows_enabled)),
                         marching_cubes_enabled=bool(int(self.view.marching_cubes_enabled)),
+                        raytracing_supported=bool(int(self.view.raytracing_supported)),
                     )
                 elif mode == RenderGraphMode.MINIMAL:
                     build_minimal_forward_render_graph(

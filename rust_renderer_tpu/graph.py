@@ -261,6 +261,10 @@ class Graph:
         persist = set(self.persist)
 
         if key not in self._compiled:
+            log.info(
+                "compiling frame graph: %d passes (%s)",
+                len(passes), ", ".join(p.name for p in passes),
+            )
 
             def frame_fn(state: dict, scene, view, uniforms: list[dict]):
                 resources = dict(state)

@@ -26,6 +26,8 @@ An optimized C++ builder (native/) handles very large scenes.
 
 from __future__ import annotations
 
+import logging
+
 from typing import NamedTuple
 
 import jax
@@ -34,6 +36,8 @@ import numpy as np
 
 from rust_renderer_tpu.ops import rays as rayops
 from rust_renderer_tpu.ops.intersect import HIT_NONE, HIT_SPHERE, HIT_TRIANGLE, Hit
+
+log = logging.getLogger(__name__)
 
 LEAF_SIZE = 4
 
@@ -232,6 +236,7 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
     miss[0] = -1
 
     leaf_arr = np.stack(leaf_rows) if leaf_rows else np.full((1, leaf_size), -1, np.int64)
+    log.info("bvh (numpy): %d tris -> %d nodes", n_tris, len(node_leaf))
     return _finalize(
         positions, indices, np.stack(node_min), np.stack(node_max), miss,
         np.asarray(node_leaf), leaf_arr,

@@ -21,6 +21,7 @@ Raytrace properties encoding matches GpuMaterial.raytrace_properties
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,8 @@ from rust_renderer_tpu.scene.gltf_loader import (
     Model,
 )
 from rust_renderer_tpu.utils import math3d
+
+log = logging.getLogger(__name__)
 
 MAX_NUM_GPU_MATERIALS = 1024
 MAX_NUM_GPU_MESHES = 1024
@@ -207,6 +210,10 @@ class Renderer:
 
         self.instances.append(ModelInstance(model=model, transform=np.asarray(transform, np.float32)))
         self.need_environment_map_update = True
+        log.info(
+            "add_model: instance %d with %d meshes, %d textures (total meshes %d)",
+            instance_index, len(model.meshes), len(model.textures), len(self.gpu_meshes),
+        )
         return instance_index
 
     def add_light(self, position, color, range_: float = 1.0) -> int:
@@ -269,6 +276,11 @@ class Renderer:
 
     def pack(self) -> PackedScene:
         """Build the HBM scene arrays. Host-side numpy concat + one transfer."""
+        log.info(
+            "pack: %d instances, %d meshes, %d materials, %d lights, %d textures",
+            len(self.instances), len(self.gpu_meshes), len(self.gpu_materials),
+            len(self.gpu_lights), len(self.textures),
+        )
         pos_list, nrm_list, uv_list, col_list, tan_list = [], [], [], [], []
         idx_list, tri_mesh_list = [], []
         v_offset = 0

@@ -51,8 +51,15 @@ def build_render_graph(
     shadows_enabled: bool = True,
     shadow_map_size: int | None = None,
     marching_cubes_enabled: bool = False,
+    raytracing_supported: bool = True,
 ) -> None:
-    """Full rasterized graph (mod.rs:61-187)."""
+    """Full rasterized graph (mod.rs:61-187).
+
+    raytracing_supported=False mirrors the reference's graceful degradation
+    when the device lacks RT support (device.rs:93-103 gates rt_shadows.rs:25
+    / rt_reflections.rs:26): the RT passes are not recorded and shading falls
+    back to CSM-only + IBL-only reflections.
+    """
     w, h = cfg.width, cfg.height
     size = shadow_map_size or cfg.shadow_map_size
 
@@ -66,8 +73,15 @@ def build_render_graph(
         # Declare persistent env resources so reads resolve even when the
         # compute passes are skipped this frame (ibl.rs:63-66 semantics).
         _declare_env_resources(graph, cfg)
-    setup_rt_shadows_pass(graph, scene_bvh, w, h)
-    setup_rt_reflections_pass(graph, scene_bvh, cfg, w, h)
+    if raytracing_supported:
+        setup_rt_shadows_pass(graph, scene_bvh, w, h)
+        setup_rt_reflections_pass(graph, scene_bvh, cfg, w, h)
+    else:
+        # Fallback resources: fully lit rt-shadow plane, black reflections
+        # (deferred.frag reads them but view.raytracing_supported == 0 masks
+        # their contribution).
+        graph.create_texture("rt_shadows", w, h, 1, clear=1.0)
+        graph.create_texture("rt_reflections", w, h, 4, clear=0.0)
     setup_ssao_pass(graph, w, h)
     setup_deferred_pass(graph, cfg, w, h, matrices, splits)
     if marching_cubes_enabled:  # recorded on demand, like mod.rs:164-176
