@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: packet BVH traversal with the tree resident in VMEM.
+
+The XLA packet traversal (ops/bvh.py::traverse_packet) still pays two real
+costs per step: a per-block row gather from HBM and ~50 small fusion
+dispatches (~4 us each) per `while` iteration. This kernel moves the whole
+walk inside ONE kernel:
+
+- node_packed and leaf_packed live in VMEM for the kernel's lifetime
+  (Sponza-scale trees are ~1-3 MB — far under the 16 MB budget);
+- each grid step owns one 1024-ray packet, laid out as (8, 128) planar
+  component registers;
+- the per-block traversal cursor is a SCALAR: node and leaf rows are fetched
+  with scalar dynamic indexing and broadcast into the packet's vector ops —
+  no gathers anywhere;
+- the traversal loop is a `lax.while_loop` inside the kernel: zero dispatch
+  overhead per step.
+
+`traverse_packet_pallas` is a drop-in alternative to
+`ops.bvh.traverse_packet` (same results); `ops.bvh.make_closest_hit(...,
+backend="pallas")` selects it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACKET = 1024  # rays per block: (8, 128) f32 registers per component
+
+
+def _make_kernel(leaf_size: int, any_hit: bool):
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out):
+        ox = o_ref[0, 0]  # (8, 128)
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        # `done` is carried as int32 (Mosaic miscompiles i1 vectors through
+        # conditional pass-through branches).
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        def cond(state):
+            cur = state[0]
+            return cur >= 0
+
+        def body(state):
+            cur, best_t, best_prim, best_u, best_v, done = state
+            row = node_ref[cur]  # (8,) scalar-indexed fetch
+            tx0 = (row[0] - ox) * ix
+            ty0 = (row[1] - oy) * iy
+            tz0 = (row[2] - oz) * iz
+            tx1 = (row[3] - ox) * ix
+            ty1 = (row[4] - oy) * iy
+            tz1 = (row[5] - oz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            # Mosaic bitcasts operate on vectors, not scalars.
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            miss = row_i[6]
+            leaf = row_i[7]
+            not_done = done == 0
+            ray_hit = (
+                (tfar >= jnp.maximum(tnear, t_min))
+                & (tnear <= best_t)
+                & not_done
+            )
+            block_hit = jnp.any(ray_hit)
+            is_leaf = leaf >= 0
+
+            def leaf_tests(args):
+                best_t, best_prim, best_u, best_v, done = args
+                lrow = leaf_ref[jnp.maximum(leaf, 0)]
+                lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
+                for s in range(leaf_size):
+                    base = s * 9
+                    v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
+                    e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
+                    e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
+                    tri_id = lrow_i[9 * leaf_size + s]
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                    u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (tri_id >= 0)
+                        & (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > t_min) & (t < best_t)
+                        & (done == 0)
+                    )
+                    best_t = jnp.where(ok, t, best_t)
+                    best_prim = jnp.where(ok, tri_id, best_prim)
+                    best_u = jnp.where(ok, u, best_u)
+                    best_v = jnp.where(ok, v, best_v)
+                    if any_hit:
+                        done = jnp.maximum(done, ok.astype(jnp.int32))
+                return best_t, best_prim, best_u, best_v, done
+
+            do_leaf = jnp.logical_and(block_hit, is_leaf)
+            best_t, best_prim, best_u, best_v, done = jax.lax.cond(
+                do_leaf, leaf_tests, lambda a: a,
+                (best_t, best_prim, best_u, best_v, done),
+            )
+
+            descend = jnp.logical_and(block_hit, jnp.logical_not(is_leaf))
+            nxt = jnp.where(descend, cur + 1, miss)
+            if any_hit:
+                nxt = jnp.where(jnp.all(done > 0), -1, nxt)
+            return nxt, best_t, best_prim, best_u, best_v, done
+
+        init = (
+            jnp.int32(0),
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+        )
+        cur, best_t, best_prim, best_u, best_v, done = jax.lax.while_loop(
+            cond, body, init
+        )
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit"))
+def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit):
+    """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
+    b = o.shape[0]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+    ]
+    in_block = lambda n: pl.BlockSpec(
+        (1, n, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # node table, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf table, whole
+            in_block(3),
+            in_block(3),
+            in_block(2),
+        ],
+        out_specs=[out_block] * 4,
+    )
+    return pl.pallas_call(
+        _make_kernel(leaf_size, any_hit),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+    )(node_packed, leaf_packed, o, d, tlim)
+
+
+def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
+                           any_hit: bool = False, tile: int = 32):
+    """Drop-in alternative to ops.bvh.traverse_packet (same results)."""
+    shape = origin.shape[:-1]
+
+    if len(shape) == 2 and shape[0] % tile == 0 and shape[1] % tile == 0:
+        h, w = shape
+
+        def pack(x):  # (H, W) -> (B, 8, 128) via tile-major reorder
+            x = x.reshape(h // tile, tile, w // tile, tile)
+            x = x.transpose(0, 2, 1, 3).reshape(-1, tile * tile)
+            return x.reshape(-1, 8, 128)
+
+        def unpack(x):
+            x = x.reshape(-1, tile * tile)
+            x = x.reshape(h // tile, w // tile, tile, tile)
+            return x.transpose(0, 2, 1, 3).reshape(h, w)
+    else:
+        r = 1
+        for s in shape:
+            r *= s
+        pad = (-r) % PACKET
+
+        def pack(x):
+            return jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, 8, 128)
+
+        def unpack(x):
+            return x.reshape(-1)[:r].reshape(shape)
+
+    o = jnp.stack([pack(origin[..., k]) for k in range(3)], axis=1)
+    d = jnp.stack([pack(direction[..., k]) for k in range(3)], axis=1)
+    t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)
+    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+    tlim = jnp.stack([pack(t_min_v), pack(t_max_v)], axis=1)
+
+    ls = bvh.leaf_tris.shape[1]
+    t, prim, u, v = _run(bvh.node_packed, bvh.leaf_packed, o, d, tlim, ls, any_hit)
+    return unpack(t), unpack(prim), unpack(u), unpack(v)

@@ -1,0 +1,74 @@
+"""Pallas traversal kernel vs XLA packet traversal.
+
+On CPU the Mosaic kernel runs in interpreter mode (slow but exact), keeping
+this covered in the default suite; on TPU it compiles natively.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_renderer_tpu.ops import bvh as bvhmod
+
+
+def _soup_bvh(n=150, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    e = rng.uniform(-0.8, 0.8, (n, 2, 3)).astype(np.float32)
+    pos = np.concatenate([base, base + e[:, 0], base + e[:, 1]], 1).reshape(-1, 3)
+    idx = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
+    return bvhmod.build_bvh(pos, idx)
+
+
+def _rays(n=1024, seed=1):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-8, 8, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def _pallas_traverse(b, o, d, **kw):
+    from rust_renderer_tpu.ops.pallas import traversal as ptrav
+    from jax.experimental import pallas as pl
+
+    if jax.devices()[0].platform == "cpu":
+        import functools
+        orig = pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        ptrav.pl.pallas_call = patched
+        try:
+            return ptrav.traverse_packet_pallas(b, o, d, **kw)
+        finally:
+            ptrav.pl.pallas_call = orig
+    return ptrav.traverse_packet_pallas(b, o, d, **kw)
+
+
+def test_pallas_matches_xla_closest():
+    b = _soup_bvh()
+    o, d = _rays()
+    t1, p1, u1, v1 = _pallas_traverse(b, o, d)
+    t2, p2, u2, v2 = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit], rtol=1e-6)
+
+
+def test_pallas_matches_xla_any_hit():
+    b = _soup_bvh(seed=3)
+    o, d = _rays(seed=4)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, any_hit=True)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(p1) >= 0, np.asarray(p2) >= 0)
+
+
+def test_pallas_eligibility_gate():
+    b = _soup_bvh()
+    # On CPU the auto-backend must NOT pick the Mosaic kernel.
+    if jax.devices()[0].platform == "cpu":
+        assert not bvhmod._pallas_eligible(b)
