@@ -18,10 +18,8 @@ Usage:
 from __future__ import annotations
 
 import os
-import time
 
 import numpy as np
-import jax.numpy as jnp
 
 import rust_renderer_tpu as rt
 from rust_renderer_tpu.app.ui import Ui

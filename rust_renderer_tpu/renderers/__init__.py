@@ -15,7 +15,6 @@ free after the first frame.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
