@@ -156,8 +156,180 @@ def _make_kernel(leaf_size: int, any_hit: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit"))
-def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit):
+def _make_kernel_ordered(leaf_size: int, any_hit: bool):
+    """Ordered (near-child-first) traversal with a per-block SMEM stack.
+
+    The skip-pointer walk steps through MISSED nodes too and cannot order
+    children by distance. Here popped nodes are only box-HIT candidates and
+    the nearer child is visited first, so best_t shrinks early and far
+    subtrees get culled — fewer iterations per packet. The stack is scalar
+    state in SMEM (tree depth bounded; 64 entries is ample). Right child of
+    an internal node is recovered as the left child's miss pointer (the DFS
+    pre-order layout invariant)."""
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, stack_ref):
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        n_nodes = node_ref.shape[0]
+
+        def slab(row, best_t, done):
+            tx0 = (row[0] - ox) * ix
+            ty0 = (row[1] - oy) * iy
+            tz0 = (row[2] - oz) * iz
+            tx1 = (row[3] - ox) * ix
+            ty1 = (row[4] - oy) * iy
+            tz1 = (row[5] - oz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            hit = (
+                (tfar >= jnp.maximum(tnear, t_min))
+                & (tnear <= best_t)
+                & (done == 0)
+            )
+            return hit, tnear
+
+        def leaf_tests(leaf, args):
+            best_t, best_prim, best_u, best_v, done = args
+            lrow = leaf_ref[jnp.maximum(leaf, 0)]
+            lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
+            for s in range(leaf_size):
+                base = s * 9
+                v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
+                e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
+                e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
+                tri_id = lrow_i[9 * leaf_size + s]
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (tri_id >= 0)
+                    & (jnp.abs(det) > 1e-12)
+                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > t_min) & (t < best_t)
+                    & (done == 0)
+                )
+                best_t = jnp.where(ok, t, best_t)
+                best_prim = jnp.where(ok, tri_id, best_prim)
+                best_u = jnp.where(ok, u, best_u)
+                best_v = jnp.where(ok, v, best_v)
+                if any_hit:
+                    done = jnp.maximum(done, ok.astype(jnp.int32))
+            return best_t, best_prim, best_u, best_v, done
+
+        stack_ref[0] = jnp.int32(0)  # root
+
+        def cond(state):
+            sp = state[0]
+            return sp > 0
+
+        def body(state):
+            sp, best_t, best_prim, best_u, best_v, done = state
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            row = node_ref[node]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            leaf = row_i[7]
+            hit, _ = slab(row, best_t, done)
+            block_hit = jnp.any(hit)
+            is_leaf = leaf >= 0
+
+            do_leaf = jnp.logical_and(block_hit, is_leaf)
+            best_t, best_prim, best_u, best_v, done = jax.lax.cond(
+                do_leaf,
+                lambda a: leaf_tests(leaf, a),
+                lambda a: a,
+                (best_t, best_prim, best_u, best_v, done),
+            )
+
+            # Internal: evaluate both children, push far then near.
+            do_int = jnp.logical_and(block_hit, jnp.logical_not(is_leaf))
+            left = jnp.minimum(node + 1, n_nodes - 1)
+            lrow = node_ref[left]
+            lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
+            right = jnp.clip(lrow_i[6], 0, n_nodes - 1)  # left's miss = sibling
+            rrow = node_ref[right]
+
+            hit_l, tn_l = slab(lrow, best_t, done)
+            hit_r, tn_r = slab(rrow, best_t, done)
+            any_l = jnp.logical_and(do_int, jnp.any(hit_l))
+            any_r = jnp.logical_and(do_int, jnp.any(hit_r))
+            big = jnp.float32(3.0e38)
+            tmin_l = jnp.min(jnp.where(hit_l, tn_l, big))
+            tmin_r = jnp.min(jnp.where(hit_r, tn_r, big))
+            near_is_left = tmin_l <= tmin_r
+            first = jnp.where(near_is_left, left, right)
+            second = jnp.where(near_is_left, right, left)
+            push_first = jnp.where(near_is_left, any_l, any_r)
+            push_second = jnp.where(near_is_left, any_r, any_l)
+
+            @pl.when(push_second)
+            def _():
+                stack_ref[sp] = second
+
+            sp = sp + push_second.astype(jnp.int32)
+
+            @pl.when(push_first)
+            def _():
+                stack_ref[sp] = first
+
+            sp = sp + push_first.astype(jnp.int32)
+
+            if any_hit:
+                sp = jnp.where(jnp.all(done > 0), 0, sp)
+            return sp, best_t, best_prim, best_u, best_v, done
+
+        init = (
+            jnp.int32(1),
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+        )
+        sp, best_t, best_prim, best_u, best_v, done = jax.lax.while_loop(
+            cond, body, init
+        )
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit", "ordered"))
+def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit, ordered=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -181,15 +353,26 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit):
         ],
         out_specs=[out_block] * 4,
     )
+    if ordered:
+        grid_spec = pl.GridSpec(
+            grid=(b,),
+            in_specs=grid_spec.in_specs,
+            out_specs=grid_spec.out_specs,
+            scratch_shapes=[pltpu.SMEM((64,), jnp.int32)],
+        )
+        kernel = _make_kernel_ordered(leaf_size, any_hit)
+    else:
+        kernel = _make_kernel(leaf_size, any_hit)
     return pl.pallas_call(
-        _make_kernel(leaf_size, any_hit),
+        kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
     )(node_packed, leaf_packed, o, d, tlim)
 
 
 def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
-                           any_hit: bool = False, tile: int = 32):
+                           any_hit: bool = False, tile: int = 32,
+                           ordered: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results)."""
     shape = origin.shape[:-1]
 
@@ -224,5 +407,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     tlim = jnp.stack([pack(t_min_v), pack(t_max_v)], axis=1)
 
     ls = bvh.leaf_tris.shape[1]
-    t, prim, u, v = _run(bvh.node_packed, bvh.leaf_packed, o, d, tlim, ls, any_hit)
+    t, prim, u, v = _run(
+        bvh.node_packed, bvh.leaf_packed, o, d, tlim, ls, any_hit, ordered
+    )
     return unpack(t), unpack(prim), unpack(u), unpack(v)
