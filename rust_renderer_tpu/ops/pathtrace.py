@@ -70,10 +70,16 @@ def _nee(scene, view, any_hit, rng_state, origin, throughput, active,
     distance_to_light = jnp.linalg.norm(to_light, axis=-1)
     light_dir = to_light / jnp.maximum(distance_to_light, 1e-12)[..., None]
 
-    # -- one batched occlusion query: [sun rays; light rays]
+    # -- one batched occlusion query: [sun rays; light rays]. Dead lanes get
+    # zero directions so their packets retire instantly.
+    am = active[..., None]
     o2 = jnp.concatenate([origin, origin], axis=0)
     d2 = jnp.concatenate(
-        [jnp.broadcast_to(sun_dir, origin.shape), light_dir], axis=0
+        [
+            jnp.where(am, jnp.broadcast_to(sun_dir, origin.shape), 0.0),
+            jnp.where(am, light_dir, 0.0),
+        ],
+        axis=0,
     )
     tmax2 = jnp.concatenate(
         [jnp.full(shape, 1e4), distance_to_light * (1.0 - 1e-4)], axis=0
@@ -151,6 +157,9 @@ def path_trace(
         active = jnp.ones((height, width), bool)
 
         for _b in range(cfg.num_bounces):
+            # (Active-lane compaction via stable partition was measured here
+            # and netted slightly negative — the zero-direction retirement
+            # below already captures the dead-lane win; see PERFORMANCE.md.)
             hit = closest_hit(scene, origin, direction)
             missed = jnp.logical_not(hit.is_hit)
 
@@ -182,10 +191,13 @@ def path_trace(
             radiance = radiance + jnp.where(terminated[..., None], throughput, 0.0)
             active = jnp.logical_and(active, jnp.logical_not(terminated))
 
-            # Advance ray (reference.rgen:59-61).
+            # Advance ray (reference.rgen:59-61). Terminated lanes get a ZERO
+            # direction: the traversal's degenerate-ray guard retires them on
+            # entry, so dead packets exit immediately instead of re-walking
+            # their frozen path every remaining bounce.
             new_origin = rayops.offset_ray(surf.position, surf.normal)
             origin = jnp.where(active[..., None], new_origin, origin)
-            direction = jnp.where(active[..., None], sc.direction, direction)
+            direction = jnp.where(active[..., None], sc.direction, 0.0)
 
             # NEE at the new origin (reference.rgen:63-125); sun + light
             # visibility batched into one traversal.
