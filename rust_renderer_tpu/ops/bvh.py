@@ -243,9 +243,21 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
     )
 
 
-def build_scene_bvh(scene) -> BVH:
-    """Build from a PackedScene's world-space pools."""
-    return build_bvh(np.asarray(scene.positions), np.asarray(scene.indices))
+def build_scene_bvh(scene, leaf_size: int | None = None) -> BVH:
+    """Build from a PackedScene's world-space pools.
+
+    Leaf size is backend-tuned: the Pallas kernel fetches leaf rows as
+    scalars, so fatter leaves (8) win 3x (shallower walks); the XLA gather
+    path prefers 4 (leaf math there is per-lane width-bound)."""
+    if leaf_size is None:
+        try:
+            is_tpu = jax.devices()[0].platform != "cpu"
+        except Exception:
+            is_tpu = False
+        leaf_size = 8 if is_tpu else LEAF_SIZE
+    return build_bvh(
+        np.asarray(scene.positions), np.asarray(scene.indices), leaf_size
+    )
 
 
 # -- traversal ---------------------------------------------------------------
