@@ -297,5 +297,5 @@ def build_minimal_forward_render_graph(
     )
     # No atmosphere pass: the reference's minimal graph is shadow -> forward
     # -> present only (mod.rs:393-433); sky stays at the clear color.
-    setup_forward_pass(graph, cfg, w, h, matrices, splits)
+    setup_forward_pass(graph, cfg, w, h, matrices, splits, scene_bvh=scene_bvh)
     setup_present_pass(graph, w, h, source="forward_output")

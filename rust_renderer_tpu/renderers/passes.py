@@ -481,14 +481,37 @@ def setup_present_pass(graph: Graph, width: int, height: int,
 
 
 def setup_forward_pass(graph: Graph, cfg, width: int, height: int,
-                       cascade_matrices, cascade_splits) -> None:
-    """Forward PBR + CSM over raster visibility (forward.vert/.frag)."""
+                       cascade_matrices, cascade_splits,
+                       scene_bvh=None) -> None:
+    """Forward PBR + CSM (forward.vert/.frag). Visibility via the software
+    rasterizer, or BVH primary rays when `scene_bvh` is given (identical
+    image; the O(pixels x tris) rasterizer is for small meshes / cascades)."""
     graph.create_texture("forward_output", width, height, 4, clear=0.0)
 
     def render(res, scene, view, u):
-        clip = raster_ops.transform_vertices(scene.positions, view.projection @ view.view)
-        vis = raster_ops.rasterize(clip, scene.indices, width, height)
-        gb = gbuffer_ops.from_visibility(scene, vis)
+        if scene_bvh is not None:
+            from rust_renderer_tpu.ops import rays as rayops
+
+            py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+            px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+            o, d = rayops.generate_camera_rays(
+                view.inverse_view, view.inverse_projection, px, py, width, height
+            )
+            hit = bvh_ops.make_closest_hit(scene_bvh)(scene, o, d)
+            gb = gbuffer_ops.from_rays(
+                scene, hit, o, d, projection_view=view.projection @ view.view
+            )
+            vis_tri = jnp.where(hit.is_hit, hit.prim, -1)
+            vis = VisibilityBuffer(
+                depth=gb.depth, tri=vis_tri,
+                bary_u=hit.u, bary_v=hit.v,
+            )
+        else:
+            clip = raster_ops.transform_vertices(
+                scene.positions, view.projection @ view.view
+            )
+            vis = raster_ops.rasterize(clip, scene.indices, width, height)
+            gb = gbuffer_ops.from_visibility(scene, vis)
 
         material = jnp.clip(
             gb.pbr[..., 3].astype(jnp.int32), 0, scene.mat_roughness.shape[0] - 1
