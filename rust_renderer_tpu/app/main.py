@@ -121,17 +121,19 @@ class Application:
         """main.rs:459-471."""
         w, h = self.cfg.width, self.cfg.height
         self.total_samples += self.cfg.samples_per_frame
-        prev_pv = (
-            np.asarray(self.view.projection) @ np.asarray(self.view.view)
-        ).astype(np.float32)
         self.view = self.view.with_camera(self.camera, w, h).replace(
             total_samples=np.uint32(self.total_samples),
             time=np.float32(self.fps_timer.elapsed_seconds()),
             num_lights=np.int32(self.renderer.get_num_lights()),
             sun_dir=np.asarray(self.sun_dir, np.float32),
         )
-        # Saved for ReSTIR temporal backprojection (main.rs:545-546).
-        self._pending_prev_pv = prev_pv
+        # Saved for ReSTIR temporal backprojection: THIS frame's matrices,
+        # applied after render, so the next frame backprojects with matrices
+        # exactly one frame old (main.rs:545-546 assigns projection*view after
+        # recording the frame).
+        self._pending_prev_pv = (
+            np.asarray(self.view.projection) @ np.asarray(self.view.view)
+        ).astype(np.float32)
 
     def render_frame(self):
         """One full frame; returns the resource dict."""
@@ -197,17 +199,31 @@ class Application:
         self.fps_timer.calculate()
         return resources
 
-    def run(self, num_frames: int = 1, on_frame=None, save_to: str | None = None):
+    def run(self, num_frames: int = 1, on_frame=None, save_to: str | None = None,
+            present_every: int = 1):
         """Pump `num_frames` frames (the winit loop analog,
-        vulkan_base.rs:508-544)."""
+        vulkan_base.rs:508-544).
+
+        present_every is the frames-in-flight analog (vulkan_base.rs:389-424
+        pipelines 1-3 frames): the host only BLOCKS on a device->numpy
+        readback every Nth frame, so jit dispatch runs ahead of the device
+        and frame N+1's graph records while frame N renders. present_every=1
+        presents every frame (the reference's default); larger values trade
+        presentation latency for throughput. The final frame is always read.
+        """
         last = None
+        last_dev = None
         for i in range(num_frames):
             self.input.begin_frame()
             resources = self.render_frame()
             if "present_output" in resources:
-                last = np.asarray(resources["present_output"])
-                if on_frame is not None:
-                    on_frame(i, last)
+                last_dev = resources["present_output"]
+                if present_every > 0 and (i + 1) % present_every == 0:
+                    last = np.asarray(last_dev)  # blocks: the 'present'
+                    if on_frame is not None:
+                        on_frame(i, last)
+        if last_dev is not None:
+            last = np.asarray(last_dev)
         if save_to and last is not None:
             save_png(save_to, last)
         return last

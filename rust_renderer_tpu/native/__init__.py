@@ -12,6 +12,7 @@ requires a toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -23,9 +24,15 @@ log = logging.getLogger(__name__)
 _DIR = os.path.dirname(__file__)
 _LIB_PATH = os.path.join(_DIR, "libbvh_builder.so")
 _SRC_PATH = os.path.join(_DIR, "bvh_builder.cpp")
+_HASH_PATH = _LIB_PATH + ".srchash"
 
 _lib = None
 _lib_failed = False
+
+
+def _src_hash() -> str:
+    with open(_SRC_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _load() -> ctypes.CDLL | None:
@@ -33,13 +40,21 @@ def _load() -> ctypes.CDLL | None:
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if (not os.path.exists(_LIB_PATH)) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)
-        ):
+        # Rebuild keyed on a HASH of the source (mtimes are unreliable: a git
+        # checkout stamps source and any stray binary identically, silently
+        # loading a stale or wrong-arch library).
+        want = _src_hash()
+        have = None
+        if os.path.exists(_LIB_PATH) and os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                have = f.read().strip()
+        if have != want:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", _SRC_PATH, "-o", _LIB_PATH],
                 check=True, capture_output=True, timeout=300,
             )
+            with open(_HASH_PATH, "w") as f:
+                f.write(want)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.bvh_build_sah.restype = ctypes.c_int
         lib.bvh_build_sah.argtypes = [

@@ -59,6 +59,17 @@ class BVH(NamedTuple):
     #   leaf_packed (L, 40): 4 x [v0.xyz, e1.xyz, e2.xyz] + 4 tri ids (bitcast)
     node_packed: jax.Array
     leaf_packed: jax.Array
+    # Wide (BVH8) tree collapsed from the binary one: one row per wide node,
+    # 8 children each — (W, 56) f32: cols [8k+c] for k<6 are child c's
+    # (min.xyz, max.xyz); col 48+c is child c's ref (bitcast i32: >=0 wide
+    # node index, <=-2 encodes leaf row -(ref+2), WIDE_EMPTY empty slot).
+    # One scalar row fetch tests 8 boxes per traversal step instead of 1 —
+    # the Pallas kernel's walk shrinks ~3x (PERFORMANCE.md round-2 lever 1).
+    wnode_packed: jax.Array
+    # Host-side static metadata (python ints, stay static in closures): exact
+    # tree depths, used to size traversal stacks safely.
+    max_depth: int = 64
+    wide_depth: int = 16
 
     @property
     def num_nodes(self) -> int:
@@ -78,6 +89,82 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
     q = np.clip((x * 1024.0), 0, 1023).astype(np.uint64)
     return expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
+
+
+WIDE_WIDTH = 8
+WIDE_EMPTY = np.int32(-0x7FFFFFFF)  # empty child-slot sentinel
+
+
+def _collapse_wide(node_min, node_max, miss, node_leaf,
+                   width: int = WIDE_WIDTH):
+    """Collapse the binary skip-pointer tree into a wide (BVH8) tree.
+
+    Standard SAH-guided collapse: each wide node starts as one binary node
+    and repeatedly replaces its largest-surface-area internal element with
+    that element's two children until `width` slots are filled. Binary
+    children are recovered from the DFS pre-order layout (left = i+1,
+    right = miss[i+1] — a left child's skip pointer is its sibling).
+
+    Returns (wnode_packed (W, 8*width) f32, wide_depth int). Child refs are
+    packed bitcast into the last `width` columns: >= 0 wide node index,
+    <= -2 encodes leaf row -(ref+2), WIDE_EMPTY an empty slot.
+    """
+    node_min = np.asarray(node_min, np.float32)
+    node_max = np.asarray(node_max, np.float32)
+    miss = np.asarray(miss, np.int64)
+    node_leaf = np.asarray(node_leaf, np.int64)
+    ext = (node_max - node_min).astype(np.float64)  # f32 squares can overflow
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+
+    pending = [0]  # binary root of each wide node, FIFO
+    depth_of = [1]
+    refs_rows: list[np.ndarray] = []
+    box_rows: list[np.ndarray] = []  # (width, 6)
+    wide_depth = 1
+    w = 0
+    while w < len(pending):
+        b = pending[w]
+        wide_depth = max(wide_depth, depth_of[w])
+        elems = [b]
+        while len(elems) < width:
+            best = -1
+            best_area = -1.0
+            for k, e in enumerate(elems):
+                if node_leaf[e] < 0 and area[e] > best_area:
+                    best, best_area = k, float(area[e])
+            if best < 0:
+                break
+            e = elems.pop(best)
+            left = e + 1
+            right = int(miss[left])
+            elems.append(left)
+            elems.append(right)
+        refs = np.full(width, WIDE_EMPTY, np.int32)
+        boxes = np.zeros((width, 6), np.float32)
+        boxes[:, :3] = 1.0  # empty slots: masked by the ref sentinel
+        boxes[:, 3:] = -1.0
+        for slot, e in enumerate(elems):
+            if node_leaf[e] >= 0:
+                refs[slot] = np.int32(-2 - node_leaf[e])
+            else:
+                pending.append(e)
+                depth_of.append(depth_of[w] + 1)
+                refs[slot] = np.int32(len(pending) - 1)
+            boxes[slot, :3] = node_min[e]
+            boxes[slot, 3:] = node_max[e]
+        refs_rows.append(refs)
+        box_rows.append(boxes)
+        w += 1
+
+    boxes = np.stack(box_rows)  # (W, width, 6)
+    refs = np.stack(refs_rows)  # (W, width)
+    # Column layout [8k+c]: child c's minx,miny,minz,maxx,maxy,maxz planes.
+    packed = np.concatenate(
+        [boxes.transpose(0, 2, 1).reshape(len(refs_rows), 6 * width),
+         refs.view(np.float32)],
+        axis=1,
+    ).astype(np.float32)
+    return packed, int(wide_depth)
 
 
 def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
@@ -117,6 +204,21 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         ],
         axis=1,
     )
+    # Exact max depth via a preorder walk: internal node i has left child i+1
+    # and right child miss[i+1] (the left child's skip pointer is its sibling
+    # — the DFS layout invariant). O(N) host pass at build time.
+    n_nodes = len(leaf_i)
+    max_depth = 1
+    stack = [(0, 1)]
+    while stack:
+        i, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        if leaf_i[i] < 0 and i + 1 < n_nodes:
+            stack.append((i + 1, depth + 1))
+            right = miss_i[i + 1]
+            if right >= 0:
+                stack.append((int(right), depth + 1))
+    wnode_packed, wide_depth = _collapse_wide(node_min, node_max, miss_i, leaf_i)
     return BVH(
         node_min=jnp.asarray(node_min, jnp.float32),
         node_max=jnp.asarray(node_max, jnp.float32),
@@ -128,6 +230,9 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         leaf_e2=jnp.asarray(l_e2),
         node_packed=jnp.asarray(node_packed),
         leaf_packed=jnp.asarray(leaf_packed),
+        wnode_packed=jnp.asarray(wnode_packed),
+        max_depth=int(max_depth),
+        wide_depth=int(wide_depth),
     )
 
 
@@ -489,8 +594,10 @@ def traverse_packet(
             r *= s
         pad = (-r) % packet
         o = jnp.pad(origin.reshape(-1, 3), ((0, pad), (0, 0)))
-        d = jnp.pad(direction.reshape(-1, 3), ((0, pad), (0, 0)),
-                    constant_values=1.0)
+        # Zero-direction pad lanes hit the degenerate-ray guard and are
+        # retired on entry (a live pad direction would keep walking the tree
+        # and, in any-hit mode, block the tail block's all-done early exit).
+        d = jnp.pad(direction.reshape(-1, 3), ((0, pad), (0, 0)))
         o = o.reshape(-1, packet, 3)
         d = d.reshape(-1, packet, 3)
 
@@ -675,9 +782,11 @@ def _tile_like(x, shape, tile, packet):
     return jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, packet)
 
 
-def _pallas_eligible(bvh: BVH) -> bool:
+def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
     """The Pallas traversal kernel keeps both tables VMEM-resident; use it on
-    TPU when they fit comfortably (~8 MB combined of the 16 MB budget)."""
+    TPU when they fit comfortably (~12 MB combined of the 16 MB budget —
+    ray blocks add ~100 KB). The wide table is ~7x smaller than the binary
+    one, so BVH8 raises the scene-size ceiling as well as the speed."""
     try:
         import jax as _jax
 
@@ -685,28 +794,35 @@ def _pallas_eligible(bvh: BVH) -> bool:
             return False
     except Exception:
         return False
-    table_bytes = bvh.node_packed.size * 4 + bvh.leaf_packed.size * 4
-    return table_bytes < 8 * 1024 * 1024
+    node_bytes = (bvh.wnode_packed if wide else bvh.node_packed).size * 4
+    table_bytes = node_bytes + bvh.leaf_packed.size * 4
+    return table_bytes < 12 * 1024 * 1024
 
 
-def _pick_traversal(bvh: BVH, packet: bool, sort: bool):
+def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
+                    wide: bool = True, ordered: bool = False):
     if sort:
         return traverse_packet_sorted
-    if packet and _pallas_eligible(bvh):
+    if packet and _pallas_eligible(bvh, wide=wide):
+        import functools
+
         from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
-        return traverse_packet_pallas
+        return functools.partial(traverse_packet_pallas, wide=wide,
+                                 ordered=ordered)
     return traverse_packet if packet else traverse
 
 
-def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False):
+def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
+                     wide: bool = True, ordered: bool = False):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
     packet=True uses coherent packet traversal (~40x faster on TPU); on TPU
-    with VMEM-sized trees the Pallas kernel (another ~2.5x on coherent rays)
-    is selected automatically. sort=True re-orders rays for coherence."""
-    trav = _pick_traversal(bvh, packet, sort)
+    with VMEM-sized trees the Pallas BVH8 kernel is selected automatically
+    (wide=False keeps the round-1 binary skip walk; ordered=True pushes
+    children near-first). sort=True re-orders rays for coherence."""
+    trav = _pick_traversal(bvh, packet, sort, wide, ordered)
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
         t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
@@ -724,8 +840,9 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False):
     return closest_hit
 
 
-def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False):
-    trav = _pick_traversal(bvh, packet, sort)
+def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
+                 wide: bool = True, ordered: bool = False):
+    trav = _pick_traversal(bvh, packet, sort, wide, ordered)
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)

@@ -25,10 +25,11 @@ SUBPIXEL_QUALITY = 0.75
 
 
 def _shift(img: jax.Array, dy: int, dx: int) -> jax.Array:
-    """Clamped-edge neighbor fetch via roll + edge fixups (cheap on TPU)."""
-    out = jnp.roll(img, (-dy, -dx), axis=(0, 1))
-    # roll wraps; clamp semantics matter little at 1px borders for AA.
-    return out
+    """Clamped-edge neighbor fetch (textureOffset clamp semantics: border
+    pixels must see their own edge, not the opposite border)."""
+    h, w = img.shape[:2]
+    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
 
 def _sample_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:

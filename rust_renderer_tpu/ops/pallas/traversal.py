@@ -328,8 +328,232 @@ def _make_kernel_ordered(leaf_size: int, any_hit: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "any_hit", "ordered"))
-def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit, ordered=False):
+def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
+    """Wide (BVH8) stack traversal: each popped internal node tests its 8
+    children against the whole packet from ONE scalar row fetch.
+
+    vs the binary skip walk (_make_kernel): the skip walk spends one iteration
+    (fetch + slab) per node INCLUDING missed ones; here every iteration
+    retires 8 boxes, and only box-HIT children are ever revisited — ~3x fewer
+    iterations on coherent packets and better on divergent ones (the union
+    path shrinks at every level). Leaf children are pushed as encoded negative
+    refs (-2 - leaf_row) and tested on pop; `ordered=True` additionally pushes
+    children far-to-near (packet-min tnear, 19-exchange sorting network on
+    scalars) so best_t shrinks early and far subtrees die on the
+    `tnear <= best_t` cull.
+    """
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, *rest):
+        stack_ref = rest[-1]
+        stats_out = rest[0] if len(rest) == 2 else None
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        def leaf_tests(leaf, args):
+            best_t, best_prim, best_u, best_v, done = args
+            lrow = leaf_ref[jnp.maximum(leaf, 0)]
+            lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
+            for s in range(leaf_size):
+                base = s * 9
+                v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
+                e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
+                e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
+                tri_id = lrow_i[9 * leaf_size + s]
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (tri_id >= 0)
+                    & (jnp.abs(det) > 1e-12)
+                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > t_min) & (t < best_t)
+                    & (done == 0)
+                )
+                best_t = jnp.where(ok, t, best_t)
+                best_prim = jnp.where(ok, tri_id, best_prim)
+                best_u = jnp.where(ok, u, best_u)
+                best_v = jnp.where(ok, v, best_v)
+                if any_hit:
+                    done = jnp.maximum(done, ok.astype(jnp.int32))
+            return best_t, best_prim, best_u, best_v, done
+
+        stack_ref[0] = jnp.int32(0)
+        zero_i = jnp.int32(0)
+        zero_f = jnp.float32(0.0)
+
+        def cond(state):
+            return state[0] > 0
+
+        def body(state):
+            sp, best_t, best_prim, best_u, best_v, done, iters, leaf_pops = state
+            ref = stack_ref[sp - 1]
+            sp = sp - 1
+            is_leaf = ref < 0
+            iters = iters + 1
+            leaf_pops = leaf_pops + is_leaf.astype(jnp.int32)
+
+            def do_leaf(args):
+                out = leaf_tests(-2 - ref, args)
+                if any_hit:
+                    # any-lane-alive, via the same roll-OR trick (done only
+                    # changes here, so the all-done early-exit check lives in
+                    # this branch — one reduction per iteration either way).
+                    alive_v = (out[4] == 0).astype(jnp.int32)
+                    for s in (1, 2, 4):
+                        alive_v = alive_v | pltpu.roll(alive_v, s, axis=0)
+                    for s in (1, 2, 4, 8, 16, 32, 64):
+                        alive_v = alive_v | pltpu.roll(alive_v, s, axis=1)
+                    alive = alive_v[0, 0]
+                else:
+                    alive = jnp.int32(1)
+                return out + (zero_i,) * 9 + (zero_f,) * 8 + (alive,)
+
+            def do_internal(args):
+                best_t, best_prim, best_u, best_v, done = args
+                row = node_ref[jnp.maximum(ref, 0)]
+                row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                not_done = done == 0
+                children = []
+                tns = []
+                packed = jnp.zeros((8, 128), jnp.int32)
+                for c in range(8):
+                    tx0 = (row[c] - ox) * ix
+                    ty0 = (row[8 + c] - oy) * iy
+                    tz0 = (row[16 + c] - oz) * iz
+                    tx1 = (row[24 + c] - ox) * ix
+                    ty1 = (row[32 + c] - oy) * iy
+                    tz1 = (row[40 + c] - oz) * iz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    hit = (
+                        (tfar >= jnp.maximum(tnear, t_min))
+                        & (tnear <= best_t)
+                        & not_done
+                    )
+                    # Per-lane child bitmask; ONE cross-vector reduction below
+                    # replaces 8 jnp.any() calls — vector->scalar reductions
+                    # have ~µs latency and serialize the walk (measured:
+                    # 1.4 µs/iteration with 16 reductions).
+                    packed = packed | (hit.astype(jnp.int32) << c)
+                    children.append(row_i[48 + c])
+                    if ordered:
+                        tns.append(jnp.min(jnp.where(hit, tnear, 3.0e38)))
+                # One reduction answers "did any lane hit child c" for all 8
+                # children at once: OR-tree across lanes/sublanes with
+                # log2 rotations (Mosaic has no or-reduce primitive), then a
+                # single max (every element now holds the full OR).
+                for s in (1, 2, 4):
+                    packed = packed | pltpu.roll(packed, s, axis=0)
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    packed = packed | pltpu.roll(packed, s, axis=1)
+                mask = packed[0, 0]  # all elements equal after the OR-tree
+                empty_bits = jnp.int32(0)
+                for c in range(8):
+                    empty_bits = empty_bits | (
+                        (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
+                    )
+                mask = mask & ~empty_bits
+                if not ordered:
+                    tns = [zero_f] * 8
+                return (best_t, best_prim, best_u, best_v, done, mask,
+                        *children, *tns, jnp.int32(1))
+
+            res = jax.lax.cond(
+                is_leaf, do_leaf, do_internal,
+                (best_t, best_prim, best_u, best_v, done),
+            )
+            best_t, best_prim, best_u, best_v, done, mask = res[:6]
+            children = list(res[6:14])
+            tns = list(res[14:22])
+            alive = res[22]
+            bits = [(mask >> c) & 1 for c in range(8)]
+
+            if ordered:
+                # Push far-to-near: sort descending by packet-min tnear with a
+                # Batcher sorting network (19 scalar compare-exchanges).
+                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+                       (5, 7), (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7),
+                       (2, 4), (3, 5), (1, 2), (3, 4), (5, 6)]
+                for i, j in net:
+                    swap = tns[i] < tns[j]  # descending
+                    for arr in (tns, children, bits):
+                        ai = jnp.where(swap, arr[j], arr[i])
+                        aj = jnp.where(swap, arr[i], arr[j])
+                        arr[i], arr[j] = ai, aj
+
+            for c in range(8):
+                @pl.when(bits[c] == 1)
+                def _(child=children[c], at=sp):
+                    stack_ref[at] = child
+
+                sp = sp + bits[c]
+
+            if any_hit:
+                sp = jnp.where(alive == 0, 0, sp)
+            return sp, best_t, best_prim, best_u, best_v, done, iters, leaf_pops
+
+        init = (
+            jnp.int32(1),
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+            jnp.int32(0),
+            jnp.int32(0),
+        )
+        (sp, best_t, best_prim, best_u, best_v, done, iters,
+         leaf_pops) = jax.lax.while_loop(cond, body, init)
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+        if stats_out is not None:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            stats_out[0] = jnp.where(rid == 0, iters, leaf_pops)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats"
+    ),
+)
+def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
+         ordered=False, stack_size=64, wide=False, stats=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -338,31 +562,33 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit, ordered=False
         jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
         jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
     ]
+    if stats:  # per-block (iterations, leaf pops) — perf diagnostics
+        out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.int32))
     in_block = lambda n: pl.BlockSpec(
         (1, n, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out_block = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # node table, whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf table, whole
-            in_block(3),
-            in_block(3),
-            in_block(2),
-        ],
-        out_specs=[out_block] * 4,
-    )
-    if ordered:
-        grid_spec = pl.GridSpec(
-            grid=(b,),
-            in_specs=grid_spec.in_specs,
-            out_specs=grid_spec.out_specs,
-            scratch_shapes=[pltpu.SMEM((64,), jnp.int32)],
-        )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # node table, whole
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf table, whole
+        in_block(3),
+        in_block(3),
+        in_block(2),
+    ]
+    out_specs = [out_block] * (5 if stats else 4)
+    if wide:
+        kernel = _make_kernel_wide(leaf_size, any_hit, ordered)
+        scratch = [pltpu.SMEM((stack_size,), jnp.int32)]
+    elif ordered:
         kernel = _make_kernel_ordered(leaf_size, any_hit)
+        scratch = [pltpu.SMEM((stack_size,), jnp.int32)]
     else:
         kernel = _make_kernel(leaf_size, any_hit)
+        scratch = []
+    grid_spec = pl.GridSpec(
+        grid=(b,), in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -372,8 +598,12 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit, ordered=False
 
 def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            any_hit: bool = False, tile: int = 32,
-                           ordered: bool = False):
-    """Drop-in alternative to ops.bvh.traverse_packet (same results)."""
+                           ordered: bool = False, wide: bool = True):
+    """Drop-in alternative to ops.bvh.traverse_packet (same results).
+
+    wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
+    per-block SMEM stack — one scalar row fetch tests 8 boxes; wide=False
+    keeps the binary skip-pointer walk (round-1 kernel)."""
     shape = origin.shape[:-1]
 
     if len(shape) == 2 and shape[0] % tile == 0 and shape[1] % tile == 0:
@@ -407,7 +637,18 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     tlim = jnp.stack([pack(t_min_v), pack(t_max_v)], axis=1)
 
     ls = bvh.leaf_tris.shape[1]
+    if wide:
+        # A popped wide node pushes up to 7 deferred siblings per level of
+        # the wide tree (+1 for the node in flight).
+        stack_size = max(7 * int(bvh.wide_depth) + 8, 16)
+        node_table = bvh.wnode_packed
+    else:
+        # Ordered binary traversal pushes at most one frame per tree level
+        # (+2 slack for the two pushes a step can make before popping).
+        stack_size = max(int(getattr(bvh, "max_depth", 62)) + 2, 16)
+        node_table = bvh.node_packed
     t, prim, u, v = _run(
-        bvh.node_packed, bvh.leaf_packed, o, d, tlim, ls, any_hit, ordered
+        node_table, bvh.leaf_packed, o, d, tlim, ls, any_hit, ordered,
+        stack_size=stack_size, wide=wide,
     )
     return unpack(t), unpack(prim), unpack(u), unpack(v)

@@ -31,6 +31,11 @@ from rust_renderer_tpu.ops.colors import linear_to_srgb
 class PathTraceResult(NamedTuple):
     output: jax.Array  # (H, W, 3) f32 sRGB — the reference's output_image
     accumulation: jax.Array  # (H, W, 3) f32 linear — accumulation_image
+    # Rays actually traced this frame (active-lane count: scatter rays with
+    # live directions + NEE sun/light rays on active lanes). Terminated lanes
+    # retire at the degenerate-ray guard and are NOT counted — this is the
+    # honest numerator for Mray/s (a nominal W*H*bounces*3 flatters it).
+    rays_traced: jax.Array = jnp.float32(0.0)
 
 
 def _nee(scene, view, any_hit, rng_state, origin, throughput, active,
@@ -65,8 +70,13 @@ def _nee(scene, view, any_hit, rng_state, origin, throughput, active,
 
     valid = jnp.logical_and(total_weights != 0.0, light_index >= 0)
     safe_index = jnp.clip(light_index, 0, scene.light_pos.shape[0] - 1)
-    light_pos = scene.light_pos[safe_index]
-    to_light = light_pos - origin
+    # One packed row gather (pos+intensity) instead of an (L, 3) table gather.
+    from rust_renderer_tpu.ops.gather import row_gather
+
+    lrows = row_gather(
+        restirops._light_rows(scene), safe_index.reshape(-1)
+    ).reshape(shape + (6,))
+    to_light = lrows[..., :3] - origin
     distance_to_light = jnp.linalg.norm(to_light, axis=-1)
     light_dir = to_light / jnp.maximum(distance_to_light, 1e-12)[..., None]
 
@@ -155,8 +165,14 @@ def path_trace(
         radiance = jnp.zeros((height, width, 3), jnp.float32)
         throughput = jnp.ones((height, width, 3), jnp.float32)
         active = jnp.ones((height, width), bool)
+        rays_traced = jnp.float32(0.0)
 
         for _b in range(cfg.num_bounces):
+            # Active-lane ray accounting: one closest-hit per live-direction
+            # lane + two NEE visibility rays per lane still active after the
+            # bounce (the _nee doubled front).
+            live = jnp.sum(direction * direction, axis=-1) > 0.0
+            rays_traced = rays_traced + jnp.sum(live.astype(jnp.float32))
             # (Active-lane compaction via stable partition was measured here
             # and netted slightly negative — the zero-direction retirement
             # below already captures the dead-lane win; see PERFORMANCE.md.)
@@ -205,6 +221,7 @@ def path_trace(
                 scene, view, any_hit, rng_state, origin, throughput, active,
                 radiance, reservoirs, px, full_width,
             )
+            rays_traced = rays_traced + 2.0 * jnp.sum(active.astype(jnp.float32))
 
         pixel_color = pixel_color + radiance
 
@@ -218,4 +235,6 @@ def path_trace(
     denom = jnp.minimum(view.total_samples, limit).astype(jnp.float32)
     out = accumulated / jnp.maximum(denom, 1.0)
     out = linear_to_srgb(out)
-    return PathTraceResult(output=out, accumulation=accumulated)
+    return PathTraceResult(
+        output=out, accumulation=accumulated, rays_traced=rays_traced
+    )

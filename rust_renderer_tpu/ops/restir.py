@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from rust_renderer_tpu.ops import rng as rngmod
 from rust_renderer_tpu.ops.colors import luminance
+from rust_renderer_tpu.ops.gather import bitcast_f32, bitcast_i32, row_gather
 
 
 class Reservoir(NamedTuple):
@@ -41,18 +42,58 @@ class Reservoir(NamedTuple):
         )
 
 
+def _pack_reservoir_rows(r: Reservoir) -> jax.Array:
+    """(H, W) planes -> (H*W, 4) rows [Y, W_sum, W_X, M] so a per-pixel
+    reservoir fetch is ONE row gather instead of four plane gathers (TPU
+    gather cost is per-index and per-table; the leaf_packed trick)."""
+    cols = jnp.stack(
+        [bitcast_f32(r.Y), r.W_sum, r.W_X, bitcast_f32(r.M)], axis=-1
+    )
+    return cols.reshape(-1, 4)
+
+
+def _gather_reservoir_rows(packed: jax.Array, iy: jax.Array, ix: jax.Array,
+                           width: int) -> Reservoir:
+    """Fetch reservoirs at integer pixel coords (same shape as iy/ix)."""
+    shape = iy.shape
+    rows = row_gather(packed, (iy * width + ix).reshape(-1))
+    return Reservoir(
+        Y=bitcast_i32(rows[:, 0]).reshape(shape),
+        W_sum=rows[:, 1].reshape(shape),
+        W_X=rows[:, 2].reshape(shape),
+        M=bitcast_i32(rows[:, 3]).reshape(shape),
+    )
+
+
 def get_light_intensity(scene, light_index: jax.Array, distance: jax.Array) -> jax.Array:
     """intensity / d^2 (restir_sampling.glsl:59-62). Returns (...,3)."""
     intensity = scene.light_intensity[light_index]
     return intensity / jnp.maximum(distance * distance, 1e-12)[..., None]
 
 
+def _light_rows(scene) -> jax.Array:
+    """Packed light rows (L, 6): pos.xyz, intensity.xyz — one row gather per
+    per-pixel light fetch instead of two (L, 3) table gathers (TPU gather
+    cost is per-index and per-table; the leaf_packed trick, ops/bvh.py:55-62).
+    XLA CSEs the concat across the frame's many target_function calls."""
+    return jnp.concatenate([scene.light_pos, scene.light_intensity], axis=1)
+
+
 def target_function(scene, light_index: jax.Array, hit_position: jax.Array) -> jax.Array:
-    """p_hat (restir_sampling.glsl:64-69); safe for light_index == -1 (-> 0)."""
-    idx = jnp.clip(light_index, 0, scene.light_pos.shape[0] - 1)
-    lp = scene.light_pos[idx]
-    d = jnp.linalg.norm(lp - hit_position, axis=-1)
-    p_hat = luminance(get_light_intensity(scene, idx, d))
+    """p_hat = luminance(intensity / d^2) (restir_sampling.glsl:64-69); safe
+    for light_index == -1 (-> 0). One packed row gather + planar math."""
+    shape = light_index.shape
+    idx = jnp.clip(light_index, 0, scene.light_pos.shape[0] - 1).reshape(-1)
+    rows = row_gather(_light_rows(scene), idx)  # (R, 6)
+    hx = hit_position[..., 0].reshape(-1)
+    hy = hit_position[..., 1].reshape(-1)
+    hz = hit_position[..., 2].reshape(-1)
+    dx = rows[:, 0] - hx
+    dy = rows[:, 1] - hy
+    dz = rows[:, 2] - hz
+    d2 = dx * dx + dy * dy + dz * dz
+    lum = 0.2126 * rows[:, 3] + 0.7152 * rows[:, 4] + 0.0722 * rows[:, 5]
+    p_hat = (lum / jnp.maximum(d2, 1e-12)).reshape(shape)
     return jnp.where(light_index < 0, 0.0, p_hat)
 
 
@@ -143,13 +184,21 @@ def temporal_reuse_pass(
     prev_frame: Reservoir,
     prev_frame_projection_view: jax.Array,
     enabled: jax.Array,
+    full_height: int | None = None,
 ) -> tuple[jax.Array, Reservoir]:
     """restir/temporal_reuse.rgen:35-121 (GRIS-style combine).
 
     hit_position: (H,W,3); reservoir planes (H,W). The previous frame's
     reservoir is fetched at the backprojected pixel.
+
+    Multi-chip row-band sharding (parallel/flagship.py): `initial` covers this
+    device's band while `prev_frame` is the all-gathered FULL-height plane
+    (backprojection can land anywhere under camera motion); `full_height` is
+    the full image height the backprojected uv maps into. Single-chip default
+    (full_height=None) is unchanged.
     """
     h, w = initial.Y.shape
+    fh = h if full_height is None else full_height
 
     new = Reservoir.empty((h, w))
     p_hat = target_function(scene, initial.Y, hit_position)
@@ -171,12 +220,13 @@ def temporal_reuse_pass(
         (uvp[..., 0] >= 0.0) & (uvp[..., 0] <= 1.0) & (uvp[..., 1] >= 0.0) & (uvp[..., 1] <= 1.0)
     )
     px = (uvp[..., 0] * w + 0.5).astype(jnp.int32).clip(0, w - 1)
-    py = (uvp[..., 1] * h + 0.5).astype(jnp.int32).clip(0, h - 1)
+    py = (uvp[..., 1] * fh + 0.5).astype(jnp.int32).clip(0, fh - 1)
+    fetched = _gather_reservoir_rows(_pack_reservoir_rows(prev_frame), py, px, w)
     prev = Reservoir(
-        Y=jnp.where(in_bounds, prev_frame.Y[py, px], -1),
-        W_sum=jnp.where(in_bounds, prev_frame.W_sum[py, px], 0.0),
-        W_X=jnp.where(in_bounds, prev_frame.W_X[py, px], 0.0),
-        M=jnp.where(in_bounds, prev_frame.M[py, px], 0),
+        Y=jnp.where(in_bounds, fetched.Y, -1),
+        W_sum=jnp.where(in_bounds, fetched.W_sum, 0.0),
+        W_X=jnp.where(in_bounds, fetched.W_X, 0.0),
+        M=jnp.where(in_bounds, fetched.M, 0),
     )
 
     # p_hat reweighting for target-distribution mismatch + 20x M clamp
@@ -209,9 +259,18 @@ def spatial_reuse_pass(
     enabled: jax.Array,
     num_neighbors: int = 5,
     radius: int = 30,
+    temporal_full: Reservoir | None = None,
+    row_offset: jax.Array | int = 0,
 ) -> tuple[jax.Array, Reservoir]:
-    """restir/spatial_reuse.rgen:35-75: combine with 5 random neighbors."""
+    """restir/spatial_reuse.rgen:35-75: combine with 5 random neighbors.
+
+    Multi-chip row-band sharding (parallel/flagship.py): neighbors within
+    `radius` rows can live on an adjacent band, so the neighbor source is the
+    all-gathered full-height plane (`temporal_full`) indexed at
+    `row_offset + local_row + offset`. Single-chip default is unchanged."""
     h, w = temporal.Y.shape
+    src = temporal if temporal_full is None else temporal_full
+    fh = src.Y.shape[0]
     new = Reservoir.empty((h, w))
     p_hat = target_function(scene, temporal.Y, hit_position)
     state, new = update_reservoir(
@@ -220,18 +279,14 @@ def spatial_reuse_pass(
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    src_packed = _pack_reservoir_rows(src)
 
     for _ in range(num_neighbors):
         state, off = rngmod.random_vec2(state)
         off = (off * 2.0 - 1.0) * radius
         nx = jnp.clip(xx + off[..., 0].astype(jnp.int32), 0, w - 1)
-        ny = jnp.clip(yy + off[..., 1].astype(jnp.int32), 0, h - 1)
-        nb = Reservoir(
-            Y=temporal.Y[ny, nx],
-            W_sum=temporal.W_sum[ny, nx],
-            W_X=temporal.W_X[ny, nx],
-            M=temporal.M[ny, nx],
-        )
+        ny = jnp.clip(yy + row_offset + off[..., 1].astype(jnp.int32), 0, fh - 1)
+        nb = _gather_reservoir_rows(src_packed, ny, nx, w)
         p_hat_nb = target_function(scene, nb.Y, hit_position)
         state, new = update_reservoir(
             state, new, nb.Y, p_hat_nb * nb.W_X * nb.M.astype(jnp.float32), nb.M

@@ -169,6 +169,9 @@ def build_path_tracing_render_graph(
     _declare_reservoir(graph, "spatial_reuse_reservoirs", w, h, persistent=True)
     graph.create_texture("accumulation_image", w, h, 3, persistent=True)
     graph.create_texture("pt_output", w, h, 3)
+    # Active-lane ray count (bench metric); persistent so the host can read
+    # it from Graph.state without keeping the whole resource dict alive.
+    graph.create_buffer("pt_rays", (), persistent=True)
 
     # 2. reset_reservoirs (restir/reset_reservoirs.comp): zero initial +
     # temporal buffers each frame.
@@ -260,12 +263,13 @@ def build_path_tracing_render_graph(
         return {
             "pt_output": result.output,
             "accumulation_image": result.accumulation,
+            "pt_rays": result.rays_traced,
         }
 
     (
         graph.add_pass("reference_pt")
         .read("accumulation_image")
-        .write("pt_output").write("accumulation_image")
+        .write("pt_output").write("accumulation_image").write("pt_rays")
         .render(reference_pt)
         .build()
     )

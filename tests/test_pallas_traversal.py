@@ -72,3 +72,60 @@ def test_pallas_eligibility_gate():
     # On CPU the auto-backend must NOT pick the Mosaic kernel.
     if jax.devices()[0].platform == "cpu":
         assert not bvhmod._pallas_eligible(b)
+
+
+def test_pallas_binary_matches_xla():
+    """The round-1 binary skip walk stays available (wide=False)."""
+    b = _soup_bvh(seed=5)
+    o, d = _rays(seed=6)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, wide=False)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_pallas_wide_ordered_matches():
+    b = _soup_bvh(seed=7)
+    o, d = _rays(seed=8)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, wide=True, ordered=True)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit], rtol=1e-6)
+
+
+def test_pallas_wide_degenerate_and_tmax():
+    """Zero-direction lanes retire; per-ray t_max is honored (NEE shadows)."""
+    b = _soup_bvh(seed=9)
+    o, d = _rays(seed=10)
+    d = d.at[::3].set(0.0)  # every third lane degenerate
+    tmax = jnp.full(o.shape[0], 2.5)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, t_max=tmax, wide=True)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d, t_max=tmax)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.all(np.asarray(p1)[::3] == -1)
+
+
+def test_wide_collapse_structure():
+    """Every triangle is reachable exactly once through the wide tree."""
+    b = _soup_bvh(seed=11)
+    w = np.asarray(b.wnode_packed)
+    refs = w[:, 48:].view(np.int32)
+    leaf_rows = []
+    stack = [0]
+    seen_nodes = set()
+    while stack:
+        n = stack.pop()
+        assert n not in seen_nodes, "wide tree has a cycle"
+        seen_nodes.add(n)
+        for r in refs[n]:
+            if r == bvhmod.WIDE_EMPTY:
+                continue
+            if r >= 0:
+                stack.append(int(r))
+            else:
+                leaf_rows.append(-2 - int(r))
+    assert sorted(leaf_rows) == sorted(set(leaf_rows)), "leaf row repeated"
+    tris = np.asarray(b.leaf_tris)[leaf_rows]
+    tris = tris[tris >= 0]
+    n_tris = int(np.asarray(b.leaf_tris).max()) + 1
+    assert sorted(tris.tolist()) == list(range(n_tris))
