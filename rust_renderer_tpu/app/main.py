@@ -46,6 +46,7 @@ class Application:
         height: int = 1100,
         mode: RenderGraphMode = RenderGraphMode.PATH_TRACED,
         cfg: StaticConfig | None = None,
+        sanitize: bool = False,
     ):
         self.cfg = (cfg or StaticConfig()).replace(width=width, height=height)
         self.renderer = rt.Renderer()
@@ -54,7 +55,7 @@ class Application:
             fov_degrees=60.0, aspect_ratio=width / height,
             z_near=0.01, z_far=20000.0, speed=0.2,
         )
-        self.graph = rt.Graph()
+        self.graph = rt.Graph(sanitize=sanitize)
         self.input = Input()
         self.ui = Ui()
         self.fps_timer = FpsTimer()
@@ -244,6 +245,14 @@ def main() -> int:  # pragma: no cover — interactive entry point
         "--small", action="store_true",
         help="shrink offscreen buffers (shadow/cubemap/LUT) for quick runs",
     )
+    p.add_argument(
+        "--sanitize", action="store_true",
+        help="NaN/Inf-check every pass output (the validation-layer analog)",
+    )
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="live terminal viewer with keyboard camera/mode controls",
+    )
     args = p.parse_args()
 
     mode = {
@@ -258,7 +267,7 @@ def main() -> int:  # pragma: no cover — interactive entry point
             shadow_map_size=256, cubemap_size=64, cubemap_mips=4,
             irradiance_size=16, brdf_lut_size=64, num_bounces=3,
         )
-    app = Application(args.width, args.height, mode, cfg)
+    app = Application(args.width, args.height, mode, cfg, sanitize=args.sanitize)
     from rust_renderer_tpu import models as scene_models
 
     builder = {
@@ -268,7 +277,12 @@ def main() -> int:  # pragma: no cover — interactive entry point
         "cubes": scene_models.create_cube_scene,
     }[args.scene]
     app.create_scene(builder)
-    app.run(args.frames, save_to=args.out)
+    if args.interactive:
+        from rust_renderer_tpu.app.viewer import run_interactive
+
+        run_interactive(app, max_frames=args.frames if args.frames > 0 else None)
+    else:
+        app.run(args.frames, save_to=args.out)
     print(PROFILER.report())
     print(f"fps={app.fps_timer.fps:.2f} saved={args.out}")
     return 0

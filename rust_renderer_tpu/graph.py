@@ -130,7 +130,15 @@ class PassBuilder:
 class Graph:
     """The frame graph (graph.rs:99-106 + 440-1065)."""
 
-    def __init__(self) -> None:
+    def __init__(self, sanitize: bool = False,
+                 suppress: tuple[str, ...] = ()) -> None:
+        """sanitize=True is the validation-layer analog (SURVEY.md §5.2; the
+        reference enables the Vulkan validation layer unconditionally,
+        vulkan_base.rs:170): every pass output is NaN/Inf-checked inside the
+        jit and nonzero counts are logged per (pass, resource) after the
+        frame. `suppress` names passes whose findings are muted — the analog
+        of the reference's suppressed false-positive id (vulkan_base.rs:55-58).
+        """
         self.passes: list[RenderPass] = []
         self.descs: dict[str, ResourceDesc] = {}
         self.persist: set[str] = set()
@@ -139,6 +147,9 @@ class Graph:
         self._last_good: Callable | None = None
         self._generation = 0
         self.current_frame = 0
+        self.sanitize = bool(sanitize)
+        self.suppress = tuple(suppress)
+        self.last_sanitizer_report: dict[str, int] = {}
 
     # -- per-frame recording (graph.rs:459-484) -----------------------------
 
@@ -231,6 +242,7 @@ class Graph:
         The analog of the reference's desc-equality pipeline cache."""
         return (
             self._generation,
+            self.sanitize,
             tuple(
                 (p.name, p.fn_key, tuple(p.reads), tuple(p.writes), tuple(p.uniforms))
                 for p in self.passes
@@ -265,8 +277,11 @@ class Graph:
                 len(passes), ", ".join(p.name for p in passes),
             )
 
+            sanitize = self.sanitize
+
             def frame_fn(state: dict, scene, view, uniforms: list[dict]):
                 resources = dict(state)
+                checks: dict[str, jax.Array] = {}
                 # Transient resources materialize on first use; declared
                 # clears behave like the reference's attachment clears.
                 for name, desc in descs.items():
@@ -277,15 +292,19 @@ class Graph:
                     if outs:
                         for wname, arr in outs.items():
                             resources[wname] = arr
+                            if sanitize and jnp.issubdtype(arr.dtype, jnp.floating):
+                                checks[f"{p.name}/{wname}"] = jnp.sum(
+                                    (~jnp.isfinite(arr)).astype(jnp.int32)
+                                )
                 new_state = {n: resources[n] for n in persist if n in resources}
-                return resources, new_state
+                return resources, new_state, checks
 
             self._compiled[key] = jax.jit(frame_fn)
 
         uniforms = [p.uniforms for p in passes]
         fn = self._compiled[key]
         try:
-            resources, new_state = fn(self.state, scene, view, uniforms)
+            resources, new_state, checks = fn(self.state, scene, view, uniforms)
             self._last_good = fn
         except Exception:
             if self._last_good is None:
@@ -294,6 +313,16 @@ class Graph:
             # (pipeline.rs:109-121).
             log.exception("frame compile/execute failed; reusing previous pipeline")
             self._compiled[key] = self._last_good
-            resources, new_state = self._last_good(self.state, scene, view, uniforms)
+            resources, new_state, checks = self._last_good(
+                self.state, scene, view, uniforms
+            )
         self.state.update(new_state)
+        if checks:
+            # Debug mode: forcing the counts to host each frame is the point.
+            report = {k: int(v) for k, v in checks.items() if int(v) > 0}
+            self.last_sanitizer_report = report
+            for k, count in report.items():
+                pass_name = k.split("/", 1)[0]
+                if pass_name not in self.suppress:
+                    log.error("sanitizer: %s produced %d non-finite values", k, count)
         return resources

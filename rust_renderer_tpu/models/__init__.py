@@ -3,6 +3,7 @@
 from rust_renderer_tpu.models.scenes import (
     create_scene,
     create_sponza_scene,
+    create_sponza_scale_scene,
     create_cornell_box_scene,
     create_metal_rough_spheres,
     create_cube_scene,
@@ -12,6 +13,7 @@ from rust_renderer_tpu.models.scenes import (
 __all__ = [
     "create_scene",
     "create_sponza_scene",
+    "create_sponza_scale_scene",
     "create_cornell_box_scene",
     "create_metal_rough_spheres",
     "create_cube_scene",

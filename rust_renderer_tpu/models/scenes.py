@@ -133,8 +133,30 @@ def create_cube_scene(renderer: Renderer, camera: Camera) -> None:
             )
 
 
+def create_sponza_scale_scene(renderer: Renderer, camera: Camera) -> None:
+    """Sponza-SCALE proof scene: the procedural atrium tessellated to >=250k
+    triangles — the real Sponza's triangle count (~260k, scenes.rs:102-150) —
+    so BVH build, VMEM-budget selection, and traversal are exercised at the
+    reference's headline scene size even though the upstream checkout ships
+    Sponza.gltf without its LFS .bin."""
+    camera.set_position_target([-10.28, 2.10, -0.18], [0.0, 0.5, 0.0])
+    # 24 columns x 9,216 tris + 48 clutter spheres x 800 + boxes ~= 260k tris.
+    create_atrium_standin(
+        renderer, columns=12, sphere_detail=48, column_slices=96,
+        clutter_count=48, clutter_detail=20,
+    )
+    for i in range(10):
+        renderer.add_light(
+            [-9.0 + 2.0 * i, 2.0 + (i % 3), 4.0 - (i % 5) * 2.0],
+            [1.0, 1.0, 1.0],
+        )
+
+
 def create_atrium_standin(renderer: Renderer, columns: int = 6,
-                          sphere_detail: int = 24) -> None:
+                          sphere_detail: int = 24,
+                          clutter_count: int = 12,
+                          clutter_detail: int = 16,
+                          column_slices: int = 0) -> None:
     """Procedural Sponza stand-in: a colonnaded atrium (floor, walls, two rows
     of columns, checker-textured floor) giving a comparable raster/PT workload
     when the real Sponza geometry buffer is unavailable."""
@@ -167,7 +189,9 @@ def create_atrium_standin(renderer: Renderer, columns: int = 6,
     for i in range(columns):
         x = -12.0 + i * (24.0 / max(columns - 1, 1))
         for z in (-4.0, 4.0):
-            col = ModelLoader.load_sphere(stacks=sphere_detail, slices=sphere_detail)
+            col = ModelLoader.load_sphere(
+                stacks=sphere_detail, slices=column_slices or sphere_detail
+            )
             col.meshes[0].material.base_color_factor = np.array(
                 [0.8, 0.78, 0.72, 1.0], np.float32
             )
@@ -184,7 +208,7 @@ def create_atrium_standin(renderer: Renderer, columns: int = 6,
             )
 
     # Scattered clutter spheres with varied materials for PT interest.
-    for _ in range(12):
+    for _ in range(clutter_count):
         p = [rng.uniform(-10, 10), 0.45, rng.uniform(-3, 3)]
         m = Material(
             base_color_factor=np.array(
@@ -194,7 +218,7 @@ def create_atrium_standin(renderer: Renderer, columns: int = 6,
             material_type=MaterialType(int(rng.integers(0, 3))),
             material_property=float(rng.uniform(0.0, 1.5)),
         )
-        s = ModelLoader.load_sphere(stacks=16, slices=16)
+        s = ModelLoader.load_sphere(stacks=clutter_detail, slices=clutter_detail)
         s.meshes[0].material = m
         renderer.add_model(s, math3d.translation(p) @ math3d.scale(0.45))
 

@@ -784,9 +784,12 @@ def _tile_like(x, shape, tile, packet):
 
 def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
     """The Pallas traversal kernel keeps both tables VMEM-resident; use it on
-    TPU when they fit comfortably (~12 MB combined of the 16 MB budget —
-    ray blocks add ~100 KB). The wide table is ~7x smaller than the binary
-    one, so BVH8 raises the scene-size ceiling as well as the speed."""
+    TPU when they fit (~14 MB combined of the 16 MB budget — ray blocks and
+    outputs add ~300 KB). The wide table is ~7x smaller than the binary one,
+    so BVH8 raises the scene-size ceiling as well as the speed: a Sponza-scale
+    250k-triangle tree is ~13.4 MB (leaf rows 40 B/tri + wide nodes 256 B)
+    and still traverses in VMEM. Larger scenes fall back to the XLA packet
+    walk without a cliff (tested in test_bvh_scale.py)."""
     try:
         import jax as _jax
 
@@ -796,7 +799,7 @@ def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
         return False
     node_bytes = (bvh.wnode_packed if wide else bvh.node_packed).size * 4
     table_bytes = node_bytes + bvh.leaf_packed.size * 4
-    return table_bytes < 12 * 1024 * 1024
+    return table_bytes < 14 * 1024 * 1024
 
 
 def _pick_traversal(bvh: BVH, packet: bool, sort: bool,

@@ -53,9 +53,12 @@ def _sample_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def fxaa(color: jax.Array, threshold: jax.Array | float = 0.45,
-         enabled: jax.Array | int = 1) -> jax.Array:
+         enabled: jax.Array | int = 1,
+         debug: jax.Array | int = 0) -> jax.Array:
     """color: (H, W, 3) in display (sRGB-ish) space. threshold is the
-    relative edge threshold from the present pass settings."""
+    relative edge threshold from the present pass settings. debug=1 paints
+    antialiased pixels red (horizontal edge) / green (vertical edge), the
+    edge-direction debug view of fxaa.glsl:247-258."""
     h, w = color.shape[:2]
     luma = luminance(color)
 
@@ -167,4 +170,10 @@ def fxaa(color: jax.Array, threshold: jax.Array | float = 0.45,
     aa = _sample_bilinear(color, fu, fv)
 
     use_aa = jnp.logical_and(jnp.logical_not(no_edge), jnp.asarray(enabled) == 1)
+    edge_dir_color = jnp.where(
+        is_horizontal[..., None],
+        jnp.asarray([1.0, 0.0, 0.0], color.dtype),
+        jnp.asarray([0.0, 1.0, 0.0], color.dtype),
+    )
+    aa = jnp.where(jnp.asarray(debug) == 1, edge_dir_color, aa)
     return jnp.where(use_aa[..., None], aa, color)

@@ -32,6 +32,81 @@ from jax.experimental.pallas import tpu as pltpu
 PACKET = 1024  # rays per block: (8, 128) f32 registers per component
 
 
+def _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                ox, oy, oz, dx, dy, dz, t_min, args):
+    """Test all leaf_size triangles of one leaf row against the packet.
+
+    The slot tests are INDEPENDENT — each runs against the leaf-ENTRY best_t
+    and the winners merge through a tournament min afterwards. The obvious
+    sequential formulation (each slot's `ok` reading the previous slot's
+    best_t) chains ~45 vector ops x 8 slots into a ~360-deep serial
+    dependency that measured ~2 us per leaf pop — 16x the internal-node pop
+    (see PERFORMANCE.md round-2 bisect). Ties keep the lowest slot, matching
+    the sequential semantics exactly.
+    """
+    best_t, best_prim, best_u, best_v, done = args
+    lrow = leaf_ref[jnp.maximum(leaf, 0)]
+    lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
+    alive = done == 0
+    cands = []
+    for s in range(leaf_size):
+        base = s * 9
+        v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
+        e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
+        e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
+        tri_id = lrow_i[9 * leaf_size + s]
+        px_ = dy * e2z - dz * e2y
+        py_ = dz * e2x - dx * e2z
+        pz_ = dx * e2y - dy * e2x
+        det = e1x * px_ + e1y * py_ + e1z * pz_
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (
+            (tri_id >= 0)
+            & (jnp.abs(det) > 1e-12)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min) & (t < best_t)
+            & alive
+        )
+        cands.append((
+            jnp.where(ok, t, 3.0e38),
+            jnp.where(ok, tri_id, -1),
+            u, v,
+        ))
+
+    def merge(a, b):
+        ta, pa, ua, va = a
+        tb, pb, ub, vb = b
+        take_b = tb < ta  # strict: the earlier slot keeps ties
+        return (
+            jnp.where(take_b, tb, ta),
+            jnp.where(take_b, pb, pa),
+            jnp.where(take_b, ub, ua),
+            jnp.where(take_b, vb, va),
+        )
+
+    while len(cands) > 1:
+        cands = [
+            merge(cands[i], cands[i + 1]) if i + 1 < len(cands) else cands[i]
+            for i in range(0, len(cands), 2)
+        ]
+    t_c, p_c, u_c, v_c = cands[0]
+    improved = t_c < best_t
+    best_t = jnp.where(improved, t_c, best_t)
+    best_prim = jnp.where(improved, p_c, best_prim)
+    best_u = jnp.where(improved, u_c, best_u)
+    best_v = jnp.where(improved, v_c, best_v)
+    if any_hit:
+        done = jnp.maximum(done, improved.astype(jnp.int32))
+    return best_t, best_prim, best_u, best_v, done
+
+
 def _make_kernel(leaf_size: int, any_hit: bool):
     def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
                t_out, prim_out, u_out, v_out):
@@ -89,41 +164,8 @@ def _make_kernel(leaf_size: int, any_hit: bool):
             is_leaf = leaf >= 0
 
             def leaf_tests(args):
-                best_t, best_prim, best_u, best_v, done = args
-                lrow = leaf_ref[jnp.maximum(leaf, 0)]
-                lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
-                for s in range(leaf_size):
-                    base = s * 9
-                    v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
-                    e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
-                    e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
-                    tri_id = lrow_i[9 * leaf_size + s]
-                    px_ = dy * e2z - dz * e2y
-                    py_ = dz * e2x - dx * e2z
-                    pz_ = dx * e2y - dy * e2x
-                    det = e1x * px_ + e1y * py_ + e1z * pz_
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-                    u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
-                    qx = tvy * e1z - tvz * e1y
-                    qy = tvz * e1x - tvx * e1z
-                    qz = tvx * e1y - tvy * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (tri_id >= 0)
-                        & (jnp.abs(det) > 1e-12)
-                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                        & (t > t_min) & (t < best_t)
-                        & (done == 0)
-                    )
-                    best_t = jnp.where(ok, t, best_t)
-                    best_prim = jnp.where(ok, tri_id, best_prim)
-                    best_u = jnp.where(ok, u, best_u)
-                    best_v = jnp.where(ok, v, best_v)
-                    if any_hit:
-                        done = jnp.maximum(done, ok.astype(jnp.int32))
-                return best_t, best_prim, best_u, best_v, done
+                return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                                   ox, oy, oz, dx, dy, dz, t_min, args)
 
             do_leaf = jnp.logical_and(block_hit, is_leaf)
             best_t, best_prim, best_u, best_v, done = jax.lax.cond(
@@ -211,41 +253,8 @@ def _make_kernel_ordered(leaf_size: int, any_hit: bool):
             return hit, tnear
 
         def leaf_tests(leaf, args):
-            best_t, best_prim, best_u, best_v, done = args
-            lrow = leaf_ref[jnp.maximum(leaf, 0)]
-            lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
-            for s in range(leaf_size):
-                base = s * 9
-                v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
-                e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
-                e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
-                tri_id = lrow_i[9 * leaf_size + s]
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = (
-                    (tri_id >= 0)
-                    & (jnp.abs(det) > 1e-12)
-                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > t_min) & (t < best_t)
-                    & (done == 0)
-                )
-                best_t = jnp.where(ok, t, best_t)
-                best_prim = jnp.where(ok, tri_id, best_prim)
-                best_u = jnp.where(ok, u, best_u)
-                best_v = jnp.where(ok, v, best_v)
-                if any_hit:
-                    done = jnp.maximum(done, ok.astype(jnp.int32))
-            return best_t, best_prim, best_u, best_v, done
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox, oy, oz, dx, dy, dz, t_min, args)
 
         stack_ref[0] = jnp.int32(0)  # root
 
@@ -366,41 +375,8 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
         degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
 
         def leaf_tests(leaf, args):
-            best_t, best_prim, best_u, best_v, done = args
-            lrow = leaf_ref[jnp.maximum(leaf, 0)]
-            lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
-            for s in range(leaf_size):
-                base = s * 9
-                v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
-                e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
-                e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
-                tri_id = lrow_i[9 * leaf_size + s]
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = (
-                    (tri_id >= 0)
-                    & (jnp.abs(det) > 1e-12)
-                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > t_min) & (t < best_t)
-                    & (done == 0)
-                )
-                best_t = jnp.where(ok, t, best_t)
-                best_prim = jnp.where(ok, tri_id, best_prim)
-                best_u = jnp.where(ok, u, best_u)
-                best_v = jnp.where(ok, v, best_v)
-                if any_hit:
-                    done = jnp.maximum(done, ok.astype(jnp.int32))
-            return best_t, best_prim, best_u, best_v, done
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox, oy, oz, dx, dy, dz, t_min, args)
 
         stack_ref[0] = jnp.int32(0)
         zero_i = jnp.int32(0)
@@ -512,6 +488,8 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
                         aj = jnp.where(swap, arr[i], arr[j])
                         arr[i], arr[j] = ai, aj
 
+            # (Unconditional compacted pushes were measured 3.5x SLOWER here —
+            # dynamic-index SMEM stores cost more than taken branches.)
             for c in range(8):
                 @pl.when(bits[c] == 1)
                 def _(child=children[c], at=sp):
@@ -546,14 +524,216 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
     return kernel
 
 
+def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
+    """BVH8 stack traversal with NBLOCKS independent ray blocks co-resident
+    in one grid step — the latency-interleaving kernel.
+
+    Counter instrumentation showed the wide walk is LATENCY-bound on its one
+    vector->scalar reduction per iteration (~1.4 us/iter against ~0.1-0.4 us
+    of vector work; PERFORMANCE.md round-2 finding 1). Here each iteration
+    pops one node per still-active block (independent stacks + cursors in
+    SMEM) and defers ALL cross-vector reductions to a shared tail: the
+    nblocks extracts issue back-to-back, overlapping their latencies, so the
+    per-pop cost approaches the vector work instead of the scalar round-trip.
+    Blocks that finish early expand a masked dummy root (cheap) until the
+    slowest co-resident block completes; adjacent blocks are neighboring
+    image tiles with similar path lengths, so the tail waste is small.
+    """
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, stack_ref):
+        ox = [o_ref[b, 0] for b in range(nblocks)]
+        oy = [o_ref[b, 1] for b in range(nblocks)]
+        oz = [o_ref[b, 2] for b in range(nblocks)]
+        dx = [d_ref[b, 0] for b in range(nblocks)]
+        dy = [d_ref[b, 1] for b in range(nblocks)]
+        dz = [d_ref[b, 2] for b in range(nblocks)]
+        t_min = [tlim_ref[b, 0] for b in range(nblocks)]
+        t_max = [tlim_ref[b, 1] for b in range(nblocks)]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = [1.0 / safe(v) for v in dx]
+        iy = [1.0 / safe(v) for v in dy]
+        iz = [1.0 / safe(v) for v in dz]
+        degenerate = [
+            ((dx[b] * dx[b] + dy[b] * dy[b] + dz[b] * dz[b]) < 1e-12).astype(jnp.int32)
+            for b in range(nblocks)
+        ]
+
+        def leaf_tests(b, leaf, args):
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox[b], oy[b], oz[b], dx[b], dy[b], dz[b],
+                               t_min[b], args)
+
+        for b in range(nblocks):
+            stack_ref[b, 0] = jnp.int32(0)
+
+        zero_i = jnp.int32(0)
+        zero_v = jnp.zeros((8, 128), jnp.int32)
+
+        def cond(state):
+            alive = state[0][0] > 0
+            for b in range(1, nblocks):
+                alive = jnp.logical_or(alive, state[0][b] > 0)
+            return alive
+
+        def body(state):
+            sps, bests = state
+            sps = list(sps)
+            bests = list(bests)  # per block: (t, prim, u, v, done)
+
+            packed_vecs = []
+            childrens = []
+            empties = []
+            actives = []
+            leaves = []
+            # Phase 1: per-block pop + expansion. No cross-vector reductions
+            # in here — conds only contain row fetches and dense vector work.
+            for b in range(nblocks):
+                active = sps[b] > 0
+                top = stack_ref[b, jnp.maximum(sps[b] - 1, 0)]
+                # Finished blocks expand the root with a masked-off result.
+                ref = jnp.where(active, top, zero_i)
+                is_leaf = ref < 0
+                best_t, best_prim, best_u, best_v, done = bests[b]
+
+                def do_leaf(args, b=b, ref=ref):
+                    out = leaf_tests(b, -2 - ref, args)
+                    return out + (zero_v, *(zero_i,) * 9)
+
+                def do_internal(args, b=b, ref=ref):
+                    best_t, best_prim, best_u, best_v, done = args
+                    row = node_ref[jnp.maximum(ref, 0)]
+                    row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                    not_done = done == 0
+                    children = []
+                    packed = zero_v
+                    for c in range(8):
+                        tx0 = (row[c] - ox[b]) * ix[b]
+                        ty0 = (row[8 + c] - oy[b]) * iy[b]
+                        tz0 = (row[16 + c] - oz[b]) * iz[b]
+                        tx1 = (row[24 + c] - ox[b]) * ix[b]
+                        ty1 = (row[32 + c] - oy[b]) * iy[b]
+                        tz1 = (row[40 + c] - oz[b]) * iz[b]
+                        tnear = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1),
+                        )
+                        tfar = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1),
+                        )
+                        hit = (
+                            (tfar >= jnp.maximum(tnear, t_min[b]))
+                            & (tnear <= best_t)
+                            & not_done
+                        )
+                        packed = packed | (hit.astype(jnp.int32) << c)
+                        children.append(row_i[48 + c])
+                    empty_bits = jnp.int32(0)
+                    for c in range(8):
+                        empty_bits = empty_bits | (
+                            (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
+                        )
+                    return (best_t, best_prim, best_u, best_v, done,
+                            packed, *children, empty_bits)
+
+                res = jax.lax.cond(
+                    is_leaf, do_leaf, do_internal,
+                    (best_t, best_prim, best_u, best_v, done),
+                )
+                bests[b] = res[:5]
+                packed_vecs.append(res[5])
+                childrens.append(list(res[6:14]))
+                empties.append(res[14])
+                actives.append(active)
+                leaves.append(is_leaf)
+                sps[b] = jnp.maximum(sps[b] - 1, 0)
+
+            # Phase 2: gang the reductions. Each vector->scalar extract is a
+            # full ~1 us sync roundtrip that does NOT pipeline with its
+            # neighbors (measured), so the per-block bit-words are SHIFTED
+            # into disjoint ranges of ONE combined vector and the whole gang
+            # pays a single OR-tree + extract: 4 blocks (8 bits each, closest
+            # hit) or 3 blocks (9 bits incl. the any-lane-alive bit, any-hit)
+            # per roundtrip.
+            bits_per = 9 if any_hit else 8
+            gang_size = 3 if any_hit else 4
+            masks = [None] * nblocks
+            alive_scalars = [None] * nblocks
+            for g0 in range(0, nblocks, gang_size):
+                gang = list(range(g0, min(g0 + gang_size, nblocks)))
+                combined = zero_v
+                for k, b in enumerate(gang):
+                    packed = packed_vecs[b]
+                    if any_hit:
+                        packed = packed | (
+                            (bests[b][4] == 0).astype(jnp.int32) << 8
+                        )
+                    combined = combined | (packed << (bits_per * k))
+                for s in (1, 2, 4):
+                    combined = combined | pltpu.roll(combined, s, axis=0)
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    combined = combined | pltpu.roll(combined, s, axis=1)
+                word = combined[0, 0]
+                for k, b in enumerate(gang):
+                    w = word >> (bits_per * k)
+                    masks[b] = jnp.where(actives[b], w & 255 & ~empties[b], 0)
+                    if any_hit:
+                        alive_scalars[b] = (w >> 8) & 1
+
+            # Phase 3: pushes (pl.when: taken branches beat unconditional
+            # dynamic-index SMEM stores — measured).
+            for b in range(nblocks):
+                sp = sps[b]
+                for c in range(8):
+                    bit = (masks[b] >> c) & 1
+
+                    @pl.when(bit == 1)
+                    def _(child=childrens[b][c], b=b, at=sp):
+                        stack_ref[b, at] = child
+
+                    sp = sp + bit
+                if any_hit:
+                    sp = jnp.where(alive_scalars[b] == 0, 0, sp)
+                sps[b] = sp
+
+            return tuple(sps), tuple(bests)
+
+        init_bests = tuple(
+            (
+                jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max[b]),
+                jnp.full((8, 128), -1, jnp.int32),
+                jnp.zeros((8, 128), jnp.float32),
+                jnp.zeros((8, 128), jnp.float32),
+                degenerate[b],
+            )
+            for b in range(nblocks)
+        )
+        init = (tuple(jnp.int32(1) for _ in range(nblocks)), init_bests)
+        _sps, bests = jax.lax.while_loop(cond, body, init)
+        for b in range(nblocks):
+            best_t, best_prim, best_u, best_v, _done = bests[b]
+            t_out[b] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+            prim_out[b] = best_prim
+            u_out[b] = best_u
+            v_out[b] = best_v
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats"
+        "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
+        "multi",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
-         ordered=False, stack_size=64, wide=False, stats=False):
+         ordered=False, stack_size=64, wide=False, stats=False, multi=1):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -564,10 +744,14 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
     ]
     if stats:  # per-block (iterations, leaf pops) — perf diagnostics
         out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.int32))
+    nb = multi if (wide and not ordered and not stats) else 1
+    assert b % nb == 0, f"ray blocks {b} not divisible by multi={nb}"
     in_block = lambda n: pl.BlockSpec(
-        (1, n, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (nb, n, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    out_block = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec(
+        (nb, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # node table, whole
         pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf table, whole
@@ -576,7 +760,10 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         in_block(2),
     ]
     out_specs = [out_block] * (5 if stats else 4)
-    if wide:
+    if wide and nb > 1:
+        kernel = _make_kernel_wide_multi(leaf_size, any_hit, nb)
+        scratch = [pltpu.SMEM((nb, stack_size), jnp.int32)]
+    elif wide:
         kernel = _make_kernel_wide(leaf_size, any_hit, ordered)
         scratch = [pltpu.SMEM((stack_size,), jnp.int32)]
     elif ordered:
@@ -586,7 +773,7 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         kernel = _make_kernel(leaf_size, any_hit)
         scratch = []
     grid_spec = pl.GridSpec(
-        grid=(b,), in_specs=in_specs, out_specs=out_specs,
+        grid=(b // nb,), in_specs=in_specs, out_specs=out_specs,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
@@ -598,12 +785,15 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
 
 def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            any_hit: bool = False, tile: int = 32,
-                           ordered: bool = False, wide: bool = True):
+                           ordered: bool = False, wide: bool = True,
+                           multi: int = 4):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
     per-block SMEM stack — one scalar row fetch tests 8 boxes; wide=False
-    keeps the binary skip-pointer walk (round-1 kernel)."""
+    keeps the binary skip-pointer walk (round-1 kernel). multi>1 co-resides
+    that many ray blocks per grid step with interleaved walks (overlaps the
+    per-iteration scalar-reduction latency; wide only)."""
     shape = origin.shape[:-1]
 
     if len(shape) == 2 and shape[0] % tile == 0 and shape[1] % tile == 0:
@@ -622,7 +812,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         r = 1
         for s in shape:
             r *= s
-        pad = (-r) % PACKET
+        pad = (-r) % (PACKET * max(multi, 1))
 
         def pack(x):
             return jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, 8, 128)
@@ -639,16 +829,20 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     ls = bvh.leaf_tris.shape[1]
     if wide:
         # A popped wide node pushes up to 7 deferred siblings per level of
-        # the wide tree (+1 for the node in flight).
-        stack_size = max(7 * int(bvh.wide_depth) + 8, 16)
+        # the wide tree (+1 for the node in flight; +8 slack for the
+        # unconditional compacted-push writes one past the top).
+        stack_size = max(7 * int(bvh.wide_depth) + 16, 24)
         node_table = bvh.wnode_packed
     else:
         # Ordered binary traversal pushes at most one frame per tree level
         # (+2 slack for the two pushes a step can make before popping).
         stack_size = max(int(getattr(bvh, "max_depth", 62)) + 2, 16)
         node_table = bvh.node_packed
+    nb = max(int(multi), 1)
+    while nb > 1 and o.shape[0] % nb:
+        nb //= 2
     t, prim, u, v = _run(
         node_table, bvh.leaf_packed, o, d, tlim, ls, any_hit, ordered,
-        stack_size=stack_size, wide=wide,
+        stack_size=stack_size, wide=wide, multi=nb,
     )
     return unpack(t), unpack(prim), unpack(u), unpack(v)

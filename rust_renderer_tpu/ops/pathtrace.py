@@ -183,7 +183,11 @@ def path_trace(
             # custom sky_fn (e.g. the captured environment cubemap — the
             # reference's own TODO at reference.rmiss:20) replaces the
             # per-ray scattering integral: ~100x fewer flops per miss lane.
-            if sky_fn is not None:
+            if getattr(cfg, "furnace_test", False):
+                # FURNACE_TEST (reference.rmiss:13-28): constant white sky,
+                # energy-conservation diagnostic. Static, like the #ifdef.
+                sky = jnp.ones((height, width, 3), jnp.float32)
+            elif sky_fn is not None:
                 sky = sky_fn(origin, rayops.normalize(direction), view)
             else:
                 sky = atmosphere.sky_radiance(

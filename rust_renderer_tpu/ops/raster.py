@@ -278,9 +278,26 @@ def rasterize(
 
 
 def rasterize_depth(
-    clip: jax.Array, indices: jax.Array, width: int, height: int, chunk: int = _CHUNK
+    clip: jax.Array, indices: jax.Array, width: int, height: int,
+    chunk: int = _CHUNK, method: str = "auto",
 ) -> jax.Array:
-    """Depth-only rasterization (shadow cascades, shadow.rs:111-131)."""
+    """Depth-only rasterization (shadow cascades, shadow.rs:111-131).
+
+    method: "brute" = the O(px·tris) chunked loop below; "binned" = the
+    tile-binned Pallas kernel (ops/raster_binned.py, SURVEY §7.3 #2);
+    "auto" picks binned on TPU for large pixel·triangle workloads.
+    """
+    if method == "auto":
+        big = indices.shape[0] >= 2048 and width * height >= 512 * 512
+        method = (
+            "binned"
+            if big and jax.devices()[0].platform != "cpu"
+            else "brute"
+        )
+    if method == "binned":
+        from rust_renderer_tpu.ops.raster_binned import rasterize_depth_binned
+
+        return rasterize_depth_binned(clip, indices, width, height)
     return rasterize(clip, indices, width, height, chunk).depth
 
 

@@ -306,7 +306,7 @@ def setup_deferred_pass(graph: Graph, cfg, width: int, height: int,
         color = jnp.where(is_metal[..., None], res["rt_reflections"][..., :3], color)
 
         # Shadows: CSM when enabled, else RT shadows (deferred.frag:97-111).
-        csm, _ = shadow_ops.calculate_shadow(
+        csm, cascade = shadow_ops.calculate_shadow(
             gb_pos[..., :3], view.view, res["shadow_map"],
             u["cascade_vp"], u["cascade_splits"],
         )
@@ -317,6 +317,15 @@ def setup_deferred_pass(graph: Graph, cfg, width: int, height: int,
             jnp.where(view.raytracing_supported == 1, rt_sh, 1.0),
         )
         color = color * shadow[..., None]
+        # CASCADE_DEBUG tint (deferred.frag:104-107), a runtime toggle here
+        # (traced flag) instead of the reference's recompile-me #define.
+        cascade_tint = jnp.logical_and(
+            view.shadows_enabled == 1, view.cascade_debug == 1
+        )
+        color = jnp.where(
+            cascade_tint[..., None],
+            color * shadow_ops.cascade_debug_color(cascade), color,
+        )
 
         ssao_term = jnp.where(view.ssao_enabled == 1, res["ssao_output"], 1.0)
         color = color * ssao_term[..., None]
@@ -464,7 +473,9 @@ def setup_present_pass(graph: Graph, width: int, height: int,
 
     def render(res, scene, view, u):
         color = linear_to_srgb(jnp.maximum(res[source][..., :3], 0.0))
-        color = fxaa_ops.fxaa(color, u["threshold"], view.fxaa_enabled)
+        color = fxaa_ops.fxaa(
+            color, u["threshold"], view.fxaa_enabled, view.fxaa_debug
+        )
         return {"present_output": color}
 
     (

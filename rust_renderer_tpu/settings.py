@@ -60,6 +60,11 @@ class StaticConfig:
     # ray (reference.rmiss behavior); "cubemap" samples the captured
     # environment map (the reference's own TODO, ~100x cheaper).
     sky_mode: str = "exact"
+    # FURNACE_TEST (reference.rmiss:13-28): compile-time define that replaces
+    # the sky with constant white — an energy-conservation diagnostic (a
+    # furnace-lit lambertian scene must converge to its albedo). Static, like
+    # the reference's #ifdef.
+    furnace_test: bool = False
 
     def replace(self, **kw: Any) -> "StaticConfig":
         return dataclasses.replace(self, **kw)
@@ -106,6 +111,12 @@ class RenderSettings:
     accumulation_limit: jax.Array
     use_ris_light_sampling: jax.Array
     raytracing_supported: jax.Array
+    # Debug visualizations (traced, so toggling never recompiles):
+    # fxaa_debug paints AA'd pixels red/green by edge direction
+    # (fxaa.glsl:247-258); cascade_debug tints by CSM cascade
+    # (deferred.frag:104-107 CASCADE_DEBUG + shadow_mapping.glsl:56-68).
+    fxaa_debug: jax.Array = np.int32(0)
+    cascade_debug: jax.Array = np.int32(0)
 
     @staticmethod
     def default(

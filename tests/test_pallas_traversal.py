@@ -105,6 +105,34 @@ def test_pallas_wide_degenerate_and_tmax():
     assert np.all(np.asarray(p1)[::3] == -1)
 
 
+def test_pallas_multi_block_matches():
+    """The latency-interleaved kernel (multi ray blocks per grid step) is
+    exact vs the XLA packet walk at every interleave width."""
+    b = _soup_bvh(seed=13)
+    o, d = _rays(seed=14)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    for m in (1, 2, 4):
+        t1, p1, _, _ = _pallas_traverse(b, o, d, multi=m)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        hit = np.asarray(p1) >= 0
+        np.testing.assert_allclose(
+            np.asarray(t1)[hit], np.asarray(t2)[hit], rtol=1e-6
+        )
+
+
+def test_pallas_multi_block_any_hit_and_degenerate():
+    b = _soup_bvh(seed=15)
+    o, d = _rays(seed=16)
+    d = d.at[::5].set(0.0)
+    tmax = jnp.full(o.shape[0], 3.0)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d, t_max=tmax, any_hit=True)
+    t1, p1, _, _ = _pallas_traverse(
+        b, o, d, t_max=tmax, any_hit=True, multi=4
+    )
+    np.testing.assert_array_equal(np.asarray(p1) >= 0, np.asarray(p2) >= 0)
+    assert np.all(np.asarray(p1)[::5] == -1)
+
+
 def test_wide_collapse_structure():
     """Every triangle is reachable exactly once through the wide tree."""
     b = _soup_bvh(seed=11)

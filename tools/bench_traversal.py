@@ -56,8 +56,11 @@ def main():
 
     variants = {
         "binary": dict(wide=False),
-        "wide": dict(wide=True, ordered=False),
+        "wide": dict(wide=True, ordered=False, multi=1),
         "wide_ordered": dict(wide=True, ordered=True),
+        "wide_multi2": dict(wide=True, multi=2),
+        "wide_multi4": dict(wide=True, multi=4),
+        "wide_multi8": dict(wide=True, multi=8),
     }
     results = {}
     for name, kw in variants.items():
