@@ -173,13 +173,29 @@ def rasterize(
     height: int,
     chunk: int = _CHUNK,
     init: "VisibilityBuffer | None" = None,
+    method: str = "auto",
 ) -> VisibilityBuffer:
     """Rasterize triangles into a visibility buffer.
 
     clip: (V,4) clip-space vertices; indices: (T,3) int32. `init` carries a
     pre-existing visibility buffer to depth-test against (the LOAD-op path
     the reference's forward/MC draws use, graph.rs:189-196).
+
+    method: "brute" = the exact O(px·tris) chunked loop; "binned" = the
+    tile-binned Pallas kernel (ops/raster_binned.py); "auto" picks binned
+    on TPU for large pixel·triangle workloads.
     """
+    if method == "auto":
+        big = indices.shape[0] >= 2048 and width * height >= 256 * 256
+        method = (
+            "binned"
+            if big and jax.devices()[0].platform != "cpu"
+            else "brute"
+        )
+    if method == "binned":
+        from rust_renderer_tpu.ops.raster_binned import rasterize_binned
+
+        return rasterize_binned(clip, indices, width, height, init=init)
     if init is None:
         init = VisibilityBuffer(
             depth=jnp.ones((height, width), jnp.float32),

@@ -10,23 +10,24 @@ vector tests):
 1. (XLA) Clip + screen-transform triangles, precompute per-triangle edge
    functions E_i(x,y) = A_i·x + B_i·y + C_i (sign-normalized so inside =
    all E >= 0 for BOTH windings — cull mode NONE, pipeline.rs:286-310) and
-   the screen-space depth plane z(x,y) = a·x + b·y + c.
+   vertex depths (interpolated barycentrically in the kernel; a depth
+   PLANE was tried and is ill-conditioned for thin triangles).
 2. (XLA) Bin triangles to (TILE_H, TILE_W)-pixel tiles by screen bbox with
    the capacity+mask pattern: each triangle emits up to SPAN_X*SPAN_Y
    (tile, tri) pairs; triangles spanning more tiles go to a small GLOBAL
    list every tile processes (floors, walls). Pairs are sorted by tile and
-   per-tile segments located with searchsorted. Caps are reported back as
-   overflow counts, never silently dropped... overflowing tiles drop the
-   tail and the caller can see it.
+   per-tile segments located with searchsorted. Per-tile counts beyond CAP
+   drop the tail (callers can inspect the returned counts in _bin_pairs).
 3. (Pallas) One grid step per tile: DMA the tile's segment of packed
-   triangle rows (16 f32: 3 edges + depth plane) from HBM into VMEM
-   scratch, then a fori_loop of scalar row fetches — each iteration tests
-   one triangle against the whole tile with ~13 vector ops and min-folds
-   the depth plane. No gathers, no per-step dispatch, no cross-vector
+   triangle rows from HBM into VMEM scratch, then a fori_loop of scalar
+   row fetches — each iteration tests one triangle against the whole tile
+   with ~15 vector ops. No gathers, no per-step dispatch, no cross-vector
    reductions in the loop (the walk is latency-free, unlike BVH traversal).
 
-Used for depth-only shadow cascades; `rasterize_depth` in ops/raster.py
-auto-selects it on TPU for large workloads.
+Two kernels: depth-only (shadow cascades) and the full visibility buffer
+(gbuffer: depth + original-tri id + perspective-correct barycentrics).
+`rasterize_depth` / `rasterize` in ops/raster.py auto-select them on TPU
+for large workloads.
 """
 
 from __future__ import annotations
@@ -48,13 +49,17 @@ CAP = 1024  # per-tile triangle capacity (overflow reported)
 GLOBAL_CAP = 64
 
 
-def _tri_rows(clip, indices, width, height):
+def _tri_rows(clip, indices, width, height, vis: bool = False):
     """Per-triangle packed rows + tile bboxes.
 
-    Returns (rows (2T, 16) f32, tx0, ty0, span_w, span_h, valid, is_global)
-    with row = [A0,B0,C0, A1,B1,C1, A2,B2,C2, a,b,c, 0,0,0,0].
+    Returns (rows, tx0, ty0, span_w, span_h, valid, is_global).
+    vis=False: rows (2T, 16) f32 = [A0,B0,C0, A1,B1,C1, A2,B2,C2, a,b,c, pad4]
+    (depth only). vis=True: rows (2T, 24) f32 adding the visibility-buffer
+    payload: [.., inv_abs_area, iw0,iw1,iw2, b0u,b0v,b1u,b1v,b2u,b2v,
+    orig_id_as_float] for perspective-correct ORIGINAL-triangle barycentrics
+    (the clipped-vertex attribute trick of ops/raster.py).
     """
-    tri_pos, _bary, _orig = clip_triangles_near(clip, indices)
+    tri_pos, tri_bary, tri_orig = clip_triangles_near(clip, indices)
     t2 = tri_pos.shape[0]
     screen, w = clip_to_screen(tri_pos.reshape(-1, 4), width, height)
     s = screen.reshape(t2, 3, 3)
@@ -83,23 +88,34 @@ def _tri_rows(clip, indices, width, height):
     a1, b1, c1 = edge(x1, y1, x2, y2)
     a2, b2, c2 = edge(x2, y2, x0, y0)
 
-    # Screen-space depth plane (z is linear in x,y — NDC z, matching
-    # ops/raster.py's l0*z0 + l1*z1 + l2*z2).
-    dl1dx = (y2 - y0) * inv_area
-    dl1dy = -(x2 - x0) * inv_area
-    dl2dx = -(y1 - y0) * inv_area
-    dl2dy = (x1 - x0) * inv_area
-    za = (z1 - z0) * dl1dx + (z2 - z0) * dl2dx
-    zb = (z1 - z0) * dl1dy + (z2 - z0) * dl2dy
-    zc = z0 - za * x0 - zb * y0
-
+    # Depth is interpolated barycentrically in the kernel
+    # (z = (e1·z0 + e2·z1 + e0·z2) · inv_abs_area) — same form as
+    # ops/raster.py's l0*z0 + l1*z1 + l2*z2. A screen-space depth PLANE
+    # (z = a·x + b·y + c) was tried first and is catastrophically
+    # ill-conditioned for thin triangles: plane gradients explode and the
+    # constant term loses the bits that decide z-order.
     zeros = jnp.zeros_like(x0)
-    rows = jnp.stack(
-        [a0, b0, c0, a1, b1, c1, a2, b2, c2, za, zb, zc,
-         zeros, zeros, zeros, zeros], axis=-1,
-    )
-    # Invalid triangles: C0 = -1 with zero gradients -> never inside.
-    dead = jnp.asarray([0.0, 0.0, -1.0] * 3 + [0.0] * 7, jnp.float32)
+    inv_abs_area = jnp.abs(inv_area)
+    if vis:
+        iw = 1.0 / jnp.maximum(wv, 1e-9)  # (2T, 3)
+        rows = jnp.stack(
+            [a0, b0, c0, a1, b1, c1, a2, b2, c2, z0, z1, z2,
+             inv_abs_area, iw[:, 0], iw[:, 1], iw[:, 2],
+             tri_bary[:, 0, 0], tri_bary[:, 0, 1],
+             tri_bary[:, 1, 0], tri_bary[:, 1, 1],
+             tri_bary[:, 2, 0], tri_bary[:, 2, 1],
+             tri_orig.astype(jnp.float32), zeros], axis=-1,
+        )
+        dead = jnp.asarray(
+            [0.0, 0.0, -1.0] * 3 + [0.0] * 13 + [-1.0, 0.0], jnp.float32
+        )
+    else:
+        rows = jnp.stack(
+            [a0, b0, c0, a1, b1, c1, a2, b2, c2, z0, z1, z2,
+             inv_abs_area, zeros, zeros, zeros], axis=-1,
+        )
+        # Invalid triangles: C0 = -1 with zero gradients -> never inside.
+        dead = jnp.asarray([0.0, 0.0, -1.0] * 3 + [0.0] * 7, jnp.float32)
     rows = jnp.where(valid[:, None], rows, dead)
 
     xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
@@ -121,10 +137,29 @@ def _tri_rows(clip, indices, width, height):
     return rows, tx0, ty0, span_w, span_h, valid, is_global
 
 
-def _bin_pairs(rows, tx0, ty0, span_w, span_h, valid, is_global, nx, ny):
+def _pack_rows(rows, stride):
+    """Pack 128//stride triangle rows into each 128-wide row (Mosaic DMA
+    slices need a 128-aligned minor dim) after padding the row width to
+    `stride` and the row count to a multiple of the pack factor with DEAD
+    rows (edge C = -1: never inside, so over-reading a packed group is
+    harmless)."""
+    pk = 128 // stride
+    n, w = rows.shape
+    dead = jnp.tile(
+        jnp.asarray([0.0, 0.0, -1.0] * 3 + [0.0] * (w - 9), jnp.float32),
+        ((-n) % pk, 1),
+    )
+    rows = jnp.concatenate([rows, dead], axis=0) if dead.shape[0] else rows
+    rows = jnp.pad(rows, ((0, 0), (0, stride - w)))
+    return rows.reshape(-1, 128)
+
+
+def _bin_pairs(rows, tx0, ty0, span_w, span_h, valid, is_global, nx, ny,
+               stride):
     """Emit capped (tile, tri) pairs, sort by tile, build segments + the
-    global list. Returns (rows_sorted, starts, counts, g_rows, g_count,
-    overflow_global)."""
+    global list. Returns (rows_packed, starts, counts, g_packed, g_groups,
+    overflow_global); rows are packed 128//stride per row (see _pack_rows)
+    and starts/counts stay in TRIANGLE units."""
     t2 = rows.shape[0]
     n_tiles = nx * ny
     binned = valid & ~is_global
@@ -150,8 +185,16 @@ def _bin_pairs(rows, tx0, ty0, span_w, span_h, valid, is_global, nx, ny):
     counts = ends - starts
 
     rows_sorted = rows[tri_sorted]  # one bulk row gather
-    # Pad so a fixed-size CAP DMA never reads past the end.
-    rows_sorted = jnp.pad(rows_sorted, ((0, CAP), (0, 0)))
+    # Dead-pad so a fixed-size CAP DMA never reads past the end, then pack.
+    dead = jnp.tile(
+        jnp.asarray(
+            [0.0, 0.0, -1.0] * 3 + [0.0] * (rows.shape[1] - 9), jnp.float32
+        ),
+        (CAP, 1),
+    )
+    rows_packed = _pack_rows(
+        jnp.concatenate([rows_sorted, dead], axis=0), stride
+    )
 
     # Global (large-span) triangles: compact the first GLOBAL_CAP.
     g_key = jnp.where(is_global, tri_ids, t2 + 1)
@@ -160,55 +203,244 @@ def _bin_pairs(rows, tx0, ty0, span_w, span_h, valid, is_global, nx, ny):
     g_count = jnp.minimum(g_total, GLOBAL_CAP)
     g_rows = rows[g_order]
     g_live = jnp.arange(GLOBAL_CAP) < g_count
-    dead = jnp.asarray([0.0, 0.0, -1.0] * 3 + [0.0] * 7, jnp.float32)
-    g_rows = jnp.where(g_live[:, None], g_rows, dead)
-    return rows_sorted, starts, counts, g_rows, g_count, g_total - g_count
+    dead_row = jnp.asarray(
+        [0.0, 0.0, -1.0] * 3 + [0.0] * (rows.shape[1] - 9), jnp.float32
+    )
+    g_rows = jnp.where(g_live[:, None], g_rows, dead_row)
+    pk = 128 // stride
+    g_packed = _pack_rows(g_rows, stride)
+    g_groups = (g_count + pk - 1) // pk
+    return rows_packed, starts, counts, g_packed, g_groups, g_total - g_count
 
 
-def _depth_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, gcount_ref,
-                  depth_out, overflow_out, scratch, sem):
+DEPTH_STRIDE = 16  # f32 per triangle row; 8 rows packed per 128-wide row
+VIS_STRIDE = 32    # 24 used + pad; 4 rows packed per 128-wide row
+
+
+def _depth_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
+                  depth_out, scratch, sem):
+    pk = 128 // DEPTH_STRIDE
     i = pl.program_id(0)
     j = pl.program_id(1)
     nx = pl.num_programs(1)
     tile = i * nx + j
     start = starts_ref[tile]
     count = counts_ref[tile]
-    clamped = jnp.minimum(count, CAP)
+    base = start // pk
+    lead = start - base * pk
+    clamped = jnp.minimum(count, CAP - lead)
+    groups = (lead + clamped + pk - 1) // pk
 
     dma = pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(start, CAP)], scratch, sem
+        rows_hbm.at[pl.ds(base, CAP // pk)], scratch, sem
     )
     dma.start()
 
-    ys = (jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
-          + i.astype(jnp.float32) * TILE_H + 0.5)
-    xs = (jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
-          + j.astype(jnp.float32) * TILE_W + 0.5)
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + i.astype(jnp.float32) * TILE_H + 0.5)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          .astype(jnp.float32) + j.astype(jnp.float32) * TILE_W + 0.5)
 
-    def test(row, depth):
-        e0 = row[0] * xs + row[1] * ys + row[2]
-        e1 = row[3] * xs + row[4] * ys + row[5]
-        e2 = row[6] * xs + row[7] * ys + row[8]
+    def test(row, base, depth):
+        e0 = row[base + 0] * xs + row[base + 1] * ys + row[base + 2]
+        e1 = row[base + 3] * xs + row[base + 4] * ys + row[base + 5]
+        e2 = row[base + 6] * xs + row[base + 7] * ys + row[base + 8]
         inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-        z = row[9] * xs + row[10] * ys + row[11]
+        ia = row[base + 12]
+        z = (e1 * row[base + 9] + e2 * row[base + 10]
+             + e0 * row[base + 11]) * ia
         return jnp.minimum(depth, jnp.where(inside, z, 3.0e38))
 
-    # Global triangles overlap while the segment DMA is in flight.
-    def g_body(k, depth):
-        return test(g_rows_ref[k], depth)
+    def group_body(ref):
+        def body(g, depth):
+            row = ref[g]
+            for sl in range(pk):
+                depth = test(row, sl * DEPTH_STRIDE, depth)
+            return depth
 
+        return body
+
+    # Global triangles overlap while the segment DMA is in flight. (A packed
+    # group may test a few dead or neighboring-segment rows — harmless: dead
+    # rows are never inside and edge functions are global.)
     depth = jax.lax.fori_loop(
-        0, gcount_ref[0], g_body, jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+        0, ggroups_ref[0], group_body(g_rows_ref),
+        jnp.full((TILE_H, TILE_W), 1.0, jnp.float32),
     )
 
     dma.wait()
-
-    def body(k, depth):
-        return test(scratch[k], depth)
-
-    depth = jax.lax.fori_loop(0, clamped, body, depth)
+    depth = jax.lax.fori_loop(0, groups, group_body(scratch), depth)
     depth_out[...] = jnp.minimum(depth, 1.0)
-    overflow_out[0, 0] = jnp.maximum(count - CAP, 0)
+
+
+def _vis_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
+                out_ref, scratch, sem):
+    """Full visibility-buffer tile kernel: depth + orig tri id (as f32) +
+    perspective-correct original-triangle barycentrics, fused into ONE
+    (4, TILE_H, TILE_W) output block."""
+    pk = 128 // VIS_STRIDE
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nx = pl.num_programs(1)
+    tile = i * nx + j
+    start = starts_ref[tile]
+    count = counts_ref[tile]
+    base = start // pk
+    lead = start - base * pk
+    clamped = jnp.minimum(count, CAP - lead)
+    groups = (lead + clamped + pk - 1) // pk
+
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(base, CAP // pk)], scratch, sem
+    )
+    dma.start()
+
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + i.astype(jnp.float32) * TILE_H + 0.5)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          .astype(jnp.float32) + j.astype(jnp.float32) * TILE_W + 0.5)
+
+    def test(row, b, state):
+        depth, tri, pu, pv = state
+        e0 = row[b + 0] * xs + row[b + 1] * ys + row[b + 2]
+        e1 = row[b + 3] * xs + row[b + 4] * ys + row[b + 5]
+        e2 = row[b + 6] * xs + row[b + 7] * ys + row[b + 8]
+        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+        # Barycentrics from the edge functions (l0 = edge v1->v2, etc.).
+        ia = row[b + 12]
+        l0 = e1 * ia
+        l1 = e2 * ia
+        l2 = e0 * ia
+        z = l0 * row[b + 9] + l1 * row[b + 10] + l2 * row[b + 11]
+        take = inside & (z <= depth) & (z <= 1.0)
+        # Perspective correction + ORIGINAL-triangle attribute compose
+        # (ops/raster.py:246-267 semantics).
+        lw0 = l0 * row[b + 13]
+        lw1 = l1 * row[b + 14]
+        lw2 = l2 * row[b + 15]
+        denom = lw0 + lw1 + lw2
+        rden = 1.0 / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        u = (lw0 * row[b + 16] + lw1 * row[b + 18] + lw2 * row[b + 20]) * rden
+        v = (lw0 * row[b + 17] + lw1 * row[b + 19] + lw2 * row[b + 21]) * rden
+        return (
+            jnp.where(take, z, depth),
+            jnp.where(take, row[b + 22], tri),
+            jnp.where(take, u, pu),
+            jnp.where(take, v, pv),
+        )
+
+    def group_body(ref):
+        def body(g, state):
+            row = ref[g]
+            for sl in range(pk):
+                state = test(row, sl * VIS_STRIDE, state)
+            return state
+
+        return body
+
+    init = (
+        jnp.full((TILE_H, TILE_W), 1.0, jnp.float32),
+        jnp.full((TILE_H, TILE_W), -1.0, jnp.float32),
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+    )
+    state = jax.lax.fori_loop(0, ggroups_ref[0], group_body(g_rows_ref), init)
+    dma.wait()
+    state = jax.lax.fori_loop(0, groups, group_body(scratch), state)
+    depth, tri, pu, pv = state
+    out_ref[0, 0] = depth
+    out_ref[0, 1] = tri
+    out_ref[0, 2] = pu
+    out_ref[0, 3] = pv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nx", "ny", "interpret")
+)
+def _run_vis(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
+             interpret=False):
+    grid_spec = pl.GridSpec(
+        grid=(ny, nx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CAP // (128 // VIS_STRIDE), 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _vis_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 4, ny * TILE_H, nx * TILE_W), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rows_sorted, g_rows, starts, counts,
+      g_count.reshape(1).astype(jnp.int32))[0]
+
+
+def rasterize_binned(
+    clip: jax.Array, indices: jax.Array, width: int, height: int,
+    interpret: bool | None = None,
+    init=None,
+):
+    """Full visibility-buffer binned rasterization; drop-in for
+    ops.raster.rasterize (same semantics: min-z LESS_OR_EQUAL, both
+    windings, near-clipped, perspective-correct ORIGINAL-triangle
+    barycentrics). Returns an ops.raster.VisibilityBuffer. `init` carries a
+    previous buffer to depth-test against (the LOAD-op path)."""
+    from rust_renderer_tpu.ops.raster import VisibilityBuffer
+
+    if indices.shape[0] == 0 and init is None:
+        return VisibilityBuffer(
+            depth=jnp.ones((height, width), jnp.float32),
+            tri=jnp.full((height, width), -1, jnp.int32),
+            bary_u=jnp.zeros((height, width), jnp.float32),
+            bary_v=jnp.zeros((height, width), jnp.float32),
+        )
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    nx = -(-width // TILE_W)
+    ny = -(-height // TILE_H)
+    rows, tx0, ty0, sw, sh, valid, is_global = _tri_rows(
+        clip, indices, width, height, vis=True
+    )
+    rows_sorted, starts, counts, g_rows, g_count, _g_over = _bin_pairs(
+        rows, tx0, ty0, sw, sh, valid, is_global, nx, ny, VIS_STRIDE
+    )
+    out = _run_vis(
+        rows_sorted, starts, counts, g_rows, g_count, nx, ny,
+        interpret=interpret,
+    )
+    depth = out[0, 0, :height, :width]
+    tri = out[0, 1, :height, :width].astype(jnp.int32)
+    bary_u = out[0, 2, :height, :width]
+    bary_v = out[0, 3, :height, :width]
+    none = tri < 0
+    depth = jnp.where(none, 1.0, depth)
+    vis = VisibilityBuffer(
+        depth=depth, tri=jnp.where(none, -1, tri),
+        bary_u=jnp.where(none, 0.0, bary_u), bary_v=jnp.where(none, 0.0, bary_v),
+    )
+    if init is not None:
+        closer = vis.depth <= init.depth
+        covered = (vis.tri >= 0) & closer
+        vis = VisibilityBuffer(
+            depth=jnp.where(covered, vis.depth, init.depth),
+            tri=jnp.where(covered, vis.tri, init.tri),
+            bary_u=jnp.where(covered, vis.bary_u, init.bary_u),
+            bary_v=jnp.where(covered, vis.bary_v, init.bary_v),
+        )
+    return vis
 
 
 @functools.partial(
@@ -228,11 +460,9 @@ def _run(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CAP, 16), jnp.float32),
+            pltpu.VMEM((CAP // (128 // DEPTH_STRIDE), 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -240,12 +470,11 @@ def _run(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
         _depth_kernel,
         out_shape=[
             jax.ShapeDtypeStruct((ny * TILE_H, nx * TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((ny, nx), jnp.int32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(rows_sorted, g_rows, starts, counts,
-      g_count.reshape(1).astype(jnp.int32))
+      g_count.reshape(1).astype(jnp.int32))[0]
 
 
 def rasterize_depth_binned(
@@ -265,9 +494,9 @@ def rasterize_depth_binned(
         clip, indices, width, height
     )
     rows_sorted, starts, counts, g_rows, g_count, _g_over = _bin_pairs(
-        rows, tx0, ty0, sw, sh, valid, is_global, nx, ny
+        rows, tx0, ty0, sw, sh, valid, is_global, nx, ny, DEPTH_STRIDE
     )
-    depth, _overflow = _run(
+    depth = _run(
         rows_sorted, starts, counts, g_rows, g_count, nx, ny,
         interpret=interpret,
     )

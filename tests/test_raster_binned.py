@@ -26,10 +26,12 @@ def _random_mesh(n, seed=0, spread=1.2):
 def _proj(verts, z_off=3.0, persp=True):
     v = jnp.asarray(verts)
     if persp:
+        # Real perspective depth: ndc_z = 0.55 - 0.1/z_view (varies per
+        # vertex; a z proportional to w makes every depth a tie).
         f = 1.5
+        zv = v[:, 2] + z_off
         clip = jnp.stack(
-            [v[:, 0] * f, v[:, 1] * f,
-             (v[:, 2] + z_off) * 0.5, (v[:, 2] + z_off)], axis=-1
+            [v[:, 0] * f, v[:, 1] * f, 0.55 * zv - 0.1, zv], axis=-1
         )
     else:  # ortho (the shadow-cascade case): w = 1
         clip = jnp.stack(
@@ -83,6 +85,54 @@ def test_binned_big_triangle_goes_global():
     both = (ref < 1.0) & (out < 1.0)
     assert both.mean() > 0.5  # the floor covers everything
     np.testing.assert_allclose(out[both], ref[both], atol=1e-4)
+
+
+@pytest.mark.parametrize("persp", [True, False])
+def test_binned_visibility_matches_bruteforce(persp):
+    verts, idx = _random_mesh(250, seed=11)
+    clip = _proj(verts, persp=persp)
+    w, h = 96, 64
+    ref = raster.rasterize(clip, jnp.asarray(idx), w, h, method="brute")
+    out = raster_binned.rasterize_binned(clip, jnp.asarray(idx), w, h,
+                                         interpret=True)
+    r_tri, o_tri = np.asarray(ref.tri), np.asarray(out.tri)
+    both = (r_tri >= 0) & (o_tri >= 0)
+    assert both.mean() > 0.2
+    disagree = (r_tri >= 0) != (o_tri >= 0)
+    assert disagree.mean() < 0.005, f"coverage mismatch {disagree.mean():.4%}"
+    same_tri = both & (r_tri == o_tri)
+    # Tie-breaks at overlapping equal-depth edges may pick different tris;
+    # the overwhelming majority must agree exactly, incl. barycentrics.
+    assert same_tri.sum() > 0.98 * both.sum()
+    np.testing.assert_allclose(
+        np.asarray(out.depth)[same_tri], np.asarray(ref.depth)[same_tri],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.bary_u)[same_tri], np.asarray(ref.bary_u)[same_tri],
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.bary_v)[same_tri], np.asarray(ref.bary_v)[same_tri],
+        atol=2e-3,
+    )
+
+
+def test_binned_visibility_init_load_op():
+    # `init` carries a previous buffer (the LOAD-op path forward/MC use).
+    verts, idx = _random_mesh(60, seed=13)
+    clip = _proj(verts, persp=True)
+    w, h = 64, 32
+    base = raster.rasterize(clip, jnp.asarray(idx), w, h, method="brute")
+    verts2, idx2 = _random_mesh(40, seed=14)
+    clip2 = _proj(verts2, persp=True)
+    ref = raster.rasterize(clip2, jnp.asarray(idx2), w, h, init=base,
+                           method="brute")
+    out = raster_binned.rasterize_binned(clip2, jnp.asarray(idx2), w, h,
+                                         interpret=True, init=base)
+    r_tri, o_tri = np.asarray(ref.tri), np.asarray(out.tri)
+    disagree = (r_tri >= 0) != (o_tri >= 0)
+    assert disagree.mean() < 0.01
 
 
 def test_binned_empty_scene():

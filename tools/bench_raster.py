@@ -39,12 +39,29 @@ def main():
     scene = r.pack()
     print(f"tris={scene.indices.shape[0]}")
 
-    sun = np.asarray([0.0, 0.90631, 0.42262], np.float32)
-    mats, _splits = shadow_ops.cascade_matrices(
-        np.asarray(cam.get_view()), np.asarray(cam.get_projection()),
-        cam.z_near, cam.z_far, sun, 4,
-    )
-    mat0 = jnp.asarray(mats[0])
+    # Scene-AABB-fit light ortho: every triangle lands on the map (the
+    # frustum-fit cascades cover km of empty air at the default z_far and
+    # leave the scene a speck — useless as a raster workload).
+    sun = np.asarray([0.3, 0.90631, 0.42262], np.float32)
+    sun /= np.linalg.norm(sun)
+    used = np.unique(np.asarray(scene.indices).reshape(-1))
+    pos = np.asarray(scene.positions)[used]
+    # Capacity-pattern slots park vertices at FLT_MAX; ignore them.
+    pos = pos[np.abs(pos).max(axis=1) < 1e9]
+    center = 0.5 * (pos.min(0) + pos.max(0))
+    radius = float(np.linalg.norm(pos - center, axis=1).max())
+    up = np.asarray([0.0, 1.0, 0.0], np.float32)
+    zax = sun  # camera looks along -z = toward the scene
+    xax = np.cross(up, zax); xax /= np.linalg.norm(xax)
+    yax = np.cross(zax, xax)
+    eye = center + sun * radius * 1.5
+    view = np.eye(4, dtype=np.float32)
+    view[0, :3], view[1, :3], view[2, :3] = xax, yax, zax
+    view[:3, 3] = -view[:3, :3] @ eye
+    r_ = radius * 1.05
+    ortho = np.diag([1.0 / r_, 1.0 / r_, -1.0 / (3.0 * radius), 1.0]).astype(np.float32)
+    ortho[2, 3] = 0.0
+    mat0 = jnp.asarray((ortho @ view).astype(np.float32))
 
     def run(f, name):
         out = f(scene.positions, scene.indices)

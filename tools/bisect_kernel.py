@@ -168,10 +168,27 @@ def make_kernel(leaf_size, variant):
                 mask = mask & ~empty_bits
                 return (best_t, best_prim, best_u, best_v, done, mask, *children)
 
-            res = jax.lax.cond(
-                is_leaf, do_leaf, do_internal,
-                (best_t, best_prim, best_u, best_v, done),
-            )
+            if variant.startswith("nocond"):
+                # Branchless: BOTH bodies run every iteration; results are
+                # selected by is_leaf. Wastes vector work but removes the
+                # lax.cond region (tests the branch-spill hypothesis).
+                il = leaf_tests(
+                    jnp.maximum(-2 - ref, 0),
+                    (best_t, best_prim, best_u, best_v, done),
+                )
+                ii = do_internal((best_t, best_prim, best_u, best_v, done))
+                leaf_v = is_leaf  # scalar bool
+                sel = lambda a, b: jnp.where(leaf_v, a, b)
+                res = (
+                    sel(il[0], ii[0]), sel(il[1], ii[1]), sel(il[2], ii[2]),
+                    sel(il[3], ii[3]), sel(il[4], ii[4]),
+                    jnp.where(leaf_v, zero_i, ii[5]),
+                ) + ii[6:]
+            else:
+                res = jax.lax.cond(
+                    is_leaf, do_leaf, do_internal,
+                    (best_t, best_prim, best_u, best_v, done),
+                )
             best_t, best_prim, best_u, best_v, done, mask = res[:6]
             children = list(res[6:14])
             bits = [(mask >> c) & 1 for c in range(8)]
@@ -270,6 +287,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--variants", default="prod,noleaf,nocull,nopush")
+    ap.add_argument("--leafpad", type=int, default=0,
+                    help="pad leaf_packed rows to this width (stride test)")
     args = ap.parse_args()
     n = args.size
 
@@ -304,10 +323,19 @@ def main():
     tlim = jnp.stack([pack(ones * 1e-3), pack(ones * 1e4)], axis=1)
     stack_size = max(7 * int(bvh.wide_depth) + 16, 24)
 
+    leaf_table = bvh.leaf_packed
+    print(f"leaf row width {leaf_table.shape[1]} "
+          f"(stride {leaf_table.shape[1] * 4} B)")
+    if args.leafpad:
+        pad = args.leafpad - leaf_table.shape[1]
+        assert pad >= 0
+        leaf_table = jnp.pad(leaf_table, ((0, 0), (0, pad)))
+        print(f"padded leaf rows to {args.leafpad} (stride {args.leafpad * 4} B)")
+
     for variant in args.variants.split(","):
         for name, dv in (("primary", d_prim), ("divergent", d_div)):
             f = lambda: run_variant(
-                bvh.wnode_packed, bvh.leaf_packed, o, dv, tlim,
+                bvh.wnode_packed, leaf_table, o, dv, tlim,
                 ls, variant, stack_size)
             out = f()
             jax.block_until_ready(out)
