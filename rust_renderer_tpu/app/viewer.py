@@ -16,6 +16,10 @@ Controls (HUD shows live state):
   h o x v b shadows / ssao / fxaa / sky / ibl
   t y u l   temporal reuse / spatial reuse / RIS light sampling / lights
   z c       fxaa edge-direction debug / CSM cascade-debug tint
+  TAB       select next instance (gizmo target)
+  I/K J/L U/O  move selected instance -z/+z, -x/+x, +y/-y (the egui gizmo
+            analog, main.rs:344-359: transform edit + TLAS rebuild +
+            accumulation reset)
   ESC       quit
 """
 
@@ -88,7 +92,12 @@ class StdinKeySource:
             if ch == "\x03":  # Ctrl-C in cbreak mode
                 self.quit_requested = True
                 continue
-            key = ch.lower()
+            # Uppercase letters and TAB are one-shot events (gizmo nudges),
+            # delivered via the pressed-edge path under their own names.
+            key = "tab" if ch == "\t" else (
+                "shift+" + ch.lower() if ch.isalpha() and ch.isupper()
+                else ch.lower()
+            )
             if key not in self._last_seen:
                 input_state.set_key_down(key)
             self._last_seen[key] = now
@@ -135,11 +144,50 @@ def _hud(app) -> str:
         f"{key}:{name.split('_')[0]}={'on' if int(getattr(v, name)) else 'off'}"
         for key, name in TOGGLE_KEYS.items()
     )
+    gizmo = app.ui.state.gizmo_instance
+    gizmo_s = f" gizmo=#{gizmo}" if gizmo is not None else ""
     return (
         f"mode={app.render_graph_mode.name} fps={app.fps_timer.fps:.2f} "
-        f"samples={app.total_samples} lights={app.renderer.get_num_lights()}\n"
-        f"[1-4]=mode wasd=camera q=profiler ESC=quit | {flags}"
+        f"samples={app.total_samples} lights={app.renderer.get_num_lights()}"
+        f"{gizmo_s}\n"
+        f"[1-4]=mode wasd=camera TAB/shift-IJKLUO=gizmo q=profiler "
+        f"ESC=quit | {flags}"
     )
+
+
+# shift+key -> instance translation delta (gizmo arrows)
+GIZMO_KEYS = {
+    "shift+i": (0.0, 0.0, -0.5),
+    "shift+k": (0.0, 0.0, 0.5),
+    "shift+j": (-0.5, 0.0, 0.0),
+    "shift+l": (0.5, 0.0, 0.0),
+    "shift+u": (0.0, 0.5, 0.0),
+    "shift+o": (0.0, -0.5, 0.0),
+}
+
+
+def _handle_gizmo(app, state) -> None:
+    """Instance-transform gizmo (main.rs:344-359): TAB selects, shifted
+    IJKL/UO translate; each edit repacks + rebuilds the BVH + resets
+    accumulation, exactly like the reference's gizmo drag."""
+    import numpy as np
+
+    n = len(app.renderer.instances)
+    if n == 0:
+        return
+    if app.input.key_pressed("tab"):
+        state["gizmo"] = (state.get("gizmo", -1) + 1) % n
+        app.ui.state.gizmo_instance = state["gizmo"]
+    sel = state.get("gizmo", -1)
+    if sel < 0:
+        return
+    for key, (dx, dy, dz) in GIZMO_KEYS.items():
+        if app.input.key_pressed(key):
+            t = np.array(app.renderer.instances[sel].transform, np.float32)
+            t[0, 3] += dx
+            t[1, 3] += dy
+            t[2, 3] += dz
+            app.set_instance_transform(sel, t)
 
 
 def run_interactive(app, max_frames: int | None = None) -> None:
@@ -151,6 +199,7 @@ def run_interactive(app, max_frames: int | None = None) -> None:
     view_rows = max(term_rows - 3, 4)  # leave room for the HUD
     sys.stdout.write("\x1b[2J\x1b[?25l")  # clear, hide cursor
     frame = 0
+    state: dict = {}
     try:
         with StdinKeySource() as keys:
             while max_frames is None or frame < max_frames:
@@ -162,6 +211,7 @@ def run_interactive(app, max_frames: int | None = None) -> None:
                     if app.input.key_pressed(key):
                         app.view = Ui.toggle_flag(app.view, flag)
                         app.reset_accumulation()
+                _handle_gizmo(app, state)
                 resources = app.render_frame()
                 img = np.asarray(resources["present_output"])
                 sys.stdout.write("\x1b[H")  # home

@@ -66,6 +66,11 @@ class BVH(NamedTuple):
     # One scalar row fetch tests 8 boxes per traversal step instead of 1 —
     # the Pallas kernel's walk shrinks ~3x (PERFORMANCE.md round-2 lever 1).
     wnode_packed: jax.Array
+    # Per-triangle packed table (T+ls, 10): [v0.xyz, e1.xyz, e2.xyz,
+    # orig_id bitcast], ordered leaf-by-leaf with a dead tail. The wide
+    # tree's leaf refs are OFFSETS into this table (no per-leaf padding:
+    # 40 B/triangle keeps Sponza-scale trees inside the VMEM budget).
+    tri_packed: jax.Array
     # Host-side static metadata (python ints, stay static in closures): exact
     # tree depths, used to size traversal stacks safely.
     max_depth: int = 64
@@ -96,7 +101,7 @@ WIDE_EMPTY = np.int32(-0x7FFFFFFF)  # empty child-slot sentinel
 
 
 def _collapse_wide(node_min, node_max, miss, node_leaf,
-                   width: int = WIDE_WIDTH):
+                   leaf_ref_map=None, width: int = WIDE_WIDTH):
     """Collapse the binary skip-pointer tree into a wide (BVH8) tree.
 
     Standard SAH-guided collapse: each wide node starts as one binary node
@@ -107,7 +112,9 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
 
     Returns (wnode_packed (W, 8*width) f32, wide_depth int). Child refs are
     packed bitcast into the last `width` columns: >= 0 wide node index,
-    <= -2 encodes leaf row -(ref+2), WIDE_EMPTY an empty slot.
+    <= -2 encodes a leaf as -(ref+2) — the leaf's OFFSET into the packed
+    per-triangle table when `leaf_ref_map` (leaf row -> tri offset) is
+    given, else the leaf row index — WIDE_EMPTY an empty slot.
     """
     node_min = np.asarray(node_min, np.float32)
     node_max = np.asarray(node_max, np.float32)
@@ -145,7 +152,10 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
         boxes[:, 3:] = -1.0
         for slot, e in enumerate(elems):
             if node_leaf[e] >= 0:
-                refs[slot] = np.int32(-2 - node_leaf[e])
+                lv = node_leaf[e]
+                if leaf_ref_map is not None:
+                    lv = leaf_ref_map[lv]
+                refs[slot] = np.int32(-2 - lv)
             else:
                 pending.append(e)
                 depth_of.append(depth_of[w] + 1)
@@ -204,6 +214,27 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         ],
         axis=1,
     )
+    # Per-TRIANGLE packed table, ordered leaf-by-leaf: each triangle stored
+    # exactly ONCE (no half-full-leaf padding — the difference between a
+    # Sponza-scale tree fitting VMEM or not). Row = [v0.xyz, e1.xyz,
+    # e2.xyz, orig_id (bitcast)]; a leaf is an OFFSET into this table and
+    # the wide kernel tests leaf_size consecutive rows (rows past the
+    # leaf's count belong to the NEXT leaf — real triangles, so testing
+    # them is semantically harmless; the tail is dead-padded).
+    valid_mask = leaf_arr >= 0  # (L, LS)
+    counts = valid_mask.sum(1)
+    leaf_offset = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    flat = valid_mask.reshape(-1)
+    tri_rows = np.concatenate(
+        [
+            per_slot.reshape(-1, 9)[flat],
+            leaf_arr.reshape(-1, 1)[flat].astype(np.int32).view(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    dead = np.zeros((leaf_size, 10), np.float32)
+    dead[:, 9] = np.full(leaf_size, -1, np.int32).view(np.float32)
+    tri_packed = np.concatenate([tri_rows, dead], axis=0)
     # Exact max depth via a preorder walk: internal node i has left child i+1
     # and right child miss[i+1] (the left child's skip pointer is its sibling
     # — the DFS layout invariant). O(N) host pass at build time.
@@ -218,7 +249,9 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
             right = miss_i[i + 1]
             if right >= 0:
                 stack.append((int(right), depth + 1))
-    wnode_packed, wide_depth = _collapse_wide(node_min, node_max, miss_i, leaf_i)
+    wnode_packed, wide_depth = _collapse_wide(
+        node_min, node_max, miss_i, leaf_i, leaf_ref_map=leaf_offset
+    )
     return BVH(
         node_min=jnp.asarray(node_min, jnp.float32),
         node_max=jnp.asarray(node_max, jnp.float32),
@@ -231,8 +264,83 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         node_packed=jnp.asarray(node_packed),
         leaf_packed=jnp.asarray(leaf_packed),
         wnode_packed=jnp.asarray(wnode_packed),
+        tri_packed=jnp.asarray(tri_packed),
         max_depth=int(max_depth),
         wide_depth=int(wide_depth),
+    )
+
+
+def _collapse_small_subtrees(node_min, node_max, miss, node_leaf, leaf_arr,
+                             leaf_size):
+    """Post-pass: collapse every subtree holding <= leaf_size triangles into
+    ONE full leaf.
+
+    SAH termination leaves half-full leaves (measured occupancy ~0.79: a
+    9-triangle node splits 5+4), which wastes ~25% of the VMEM-resident
+    leaf table — the difference between a Sponza-scale (260k tri) tree
+    fitting the Pallas kernel's 14 MB budget or falling off the fast path.
+    The preorder skip-pointer layout makes this cheap: subtree(i) is the
+    contiguous node range [i, miss[i] or N), so subtree triangle counts are
+    prefix-sum differences and collapse tops are found in one linear scan.
+    """
+    n = len(node_leaf)
+    node_leaf = np.asarray(node_leaf, np.int64)
+    miss = np.asarray(miss, np.int64)
+    extent = np.where(miss < 0, n, miss)
+    is_leaf = node_leaf >= 0
+    leafcnt = np.zeros(n, np.int64)
+    rows_valid = (leaf_arr >= 0).sum(1)
+    leafcnt[is_leaf] = rows_valid[node_leaf[is_leaf]]
+    pref = np.concatenate([[0], np.cumsum(leafcnt)])
+    count = pref[extent] - pref[np.arange(n)]
+
+    # Topmost internal nodes with a small-enough subtree.
+    tops = []
+    skip_until = 0
+    for i in range(n):
+        if i < skip_until:
+            continue
+        if not is_leaf[i] and count[i] <= leaf_size:
+            tops.append(i)
+            skip_until = extent[i]
+    if not tops:
+        return node_min, node_max, miss, node_leaf, leaf_arr
+
+    inside = np.zeros(n, bool)
+    top_mask = np.zeros(n, bool)
+    for t in tops:
+        inside[t + 1:extent[t]] = True
+        top_mask[t] = True
+    keep = ~inside
+    new_index = np.cumsum(keep) - 1
+    ext_map = np.concatenate([new_index, [new_index[-1] + 1]])  # extent -> new
+
+    kept = np.nonzero(keep)[0]
+    new_rows = []
+    new_leaf = np.full(len(kept), -1, np.int64)
+    for j, i in enumerate(kept):
+        if top_mask[i]:
+            span = slice(i, extent[i])
+            lrows = node_leaf[span]
+            tris = leaf_arr[lrows[lrows >= 0]].reshape(-1)
+            tris = tris[tris >= 0]
+            row = np.full(leaf_size, -1, np.int64)
+            row[: len(tris)] = tris
+            new_leaf[j] = len(new_rows)
+            new_rows.append(row)
+        elif is_leaf[i]:
+            new_leaf[j] = len(new_rows)
+            new_rows.append(leaf_arr[node_leaf[i]])
+    new_miss = np.where(
+        extent[kept] >= n, -1, ext_map[extent[kept]]
+    ).astype(np.int64)
+    log.info(
+        "leaf repack: %d -> %d nodes, %d -> %d leaf rows",
+        n, len(kept), len(leaf_arr), len(new_rows),
+    )
+    return (
+        np.asarray(node_min)[kept], np.asarray(node_max)[kept],
+        new_miss, new_leaf, np.stack(new_rows),
     )
 
 
@@ -253,6 +361,12 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
         out = native.build_bvh_sah(positions, indices.astype(np.int32), leaf_size)
         if out is not None:
             node_min, node_max, node_miss, node_leaf, leaf_tris = out
+            node_min, node_max, node_miss, node_leaf, leaf_tris = (
+                _collapse_small_subtrees(
+                    node_min, node_max, node_miss, node_leaf,
+                    leaf_tris.astype(np.int64), leaf_size,
+                )
+            )
             return _finalize(
                 positions, indices, node_min, node_max, node_miss, node_leaf,
                 leaf_tris.astype(np.int64),
@@ -342,10 +456,11 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
 
     leaf_arr = np.stack(leaf_rows) if leaf_rows else np.full((1, leaf_size), -1, np.int64)
     log.info("bvh (numpy): %d tris -> %d nodes", n_tris, len(node_leaf))
-    return _finalize(
-        positions, indices, np.stack(node_min), np.stack(node_max), miss,
-        np.asarray(node_leaf), leaf_arr,
+    nmin, nmax, miss, nleaf, leaf_arr = _collapse_small_subtrees(
+        np.stack(node_min), np.stack(node_max), miss,
+        np.asarray(node_leaf), leaf_arr, leaf_size,
     )
+    return _finalize(positions, indices, nmin, nmax, miss, nleaf, leaf_arr)
 
 
 def build_scene_bvh(scene, leaf_size: int | None = None) -> BVH:
@@ -797,8 +912,10 @@ def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
             return False
     except Exception:
         return False
-    node_bytes = (bvh.wnode_packed if wide else bvh.node_packed).size * 4
-    table_bytes = node_bytes + bvh.leaf_packed.size * 4
+    if wide:
+        table_bytes = (bvh.wnode_packed.size + bvh.tri_packed.size) * 4
+    else:
+        table_bytes = (bvh.node_packed.size + bvh.leaf_packed.size) * 4
     return table_bytes < 14 * 1024 * 1024
 
 

@@ -5,8 +5,9 @@ costs per step: a per-block row gather from HBM and ~50 small fusion
 dispatches (~4 us each) per `while` iteration. This kernel moves the whole
 walk inside ONE kernel:
 
-- node_packed and leaf_packed live in VMEM for the kernel's lifetime
-  (Sponza-scale trees are ~1-3 MB — far under the 16 MB budget);
+- the tree lives in VMEM for the kernel's lifetime: the BVH8 node table
+  plus a packed per-triangle table (40 B/tri, each triangle stored once —
+  a Sponza-scale 260k-tri tree is ~13 MB of the 16 MB VMEM);
 - each grid step owns one 1024-ray packet, laid out as (8, 128) planar
   component registers;
 - the per-block traversal cursor is a SCALAR: node and leaf rows are fetched
@@ -84,6 +85,75 @@ def _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
         ta, pa, ua, va = a
         tb, pb, ub, vb = b
         take_b = tb < ta  # strict: the earlier slot keeps ties
+        return (
+            jnp.where(take_b, tb, ta),
+            jnp.where(take_b, pb, pa),
+            jnp.where(take_b, ub, ua),
+            jnp.where(take_b, vb, va),
+        )
+
+    while len(cands) > 1:
+        cands = [
+            merge(cands[i], cands[i + 1]) if i + 1 < len(cands) else cands[i]
+            for i in range(0, len(cands), 2)
+        ]
+    t_c, p_c, u_c, v_c = cands[0]
+    improved = t_c < best_t
+    best_t = jnp.where(improved, t_c, best_t)
+    best_prim = jnp.where(improved, p_c, best_prim)
+    best_u = jnp.where(improved, u_c, best_u)
+    best_v = jnp.where(improved, v_c, best_v)
+    if any_hit:
+        done = jnp.maximum(done, improved.astype(jnp.int32))
+    return best_t, best_prim, best_u, best_v, done
+
+
+def _leaf_tests_tri(tri_ref, offset, leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args):
+    """Leaf test against the packed PER-TRIANGLE table: leaf = offset into
+    tri_ref, test leaf_size consecutive rows ([v0, e1, e2, id]). Rows past
+    the leaf's actual count belong to the next leaf (real triangles — extra
+    tests are semantically harmless) or the dead tail (id -1). Slot tests
+    are independent + tournament-merged like _leaf_tests."""
+    best_t, best_prim, best_u, best_v, done = args
+    alive = done == 0
+    cands = []
+    for s in range(leaf_size):
+        trow = tri_ref[offset + s]
+        trow_i = jax.lax.bitcast_convert_type(trow, jnp.int32)
+        v0x, v0y, v0z = trow[0], trow[1], trow[2]
+        e1x, e1y, e1z = trow[3], trow[4], trow[5]
+        e2x, e2y, e2z = trow[6], trow[7], trow[8]
+        tri_id = trow_i[9]
+        px_ = dy * e2z - dz * e2y
+        py_ = dz * e2x - dx * e2z
+        pz_ = dx * e2y - dy * e2x
+        det = e1x * px_ + e1y * py_ + e1z * pz_
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (
+            (tri_id >= 0)
+            & (jnp.abs(det) > 1e-12)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min) & (t < best_t)
+            & alive
+        )
+        cands.append((
+            jnp.where(ok, t, 3.0e38),
+            jnp.where(ok, tri_id, -1),
+            u, v,
+        ))
+
+    def merge(a, b):
+        ta, pa, ua, va = a
+        tb, pb, ub, vb = b
+        take_b = tb < ta
         return (
             jnp.where(take_b, tb, ta),
             jnp.where(take_b, pb, pa),
@@ -375,8 +445,8 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
         degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
 
         def leaf_tests(leaf, args):
-            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
-                               ox, oy, oz, dx, dy, dz, t_min, args)
+            return _leaf_tests_tri(leaf_ref, leaf, leaf_size, any_hit,
+                                   ox, oy, oz, dx, dy, dz, t_min, args)
 
         stack_ref[0] = jnp.int32(0)
         zero_i = jnp.int32(0)
@@ -564,9 +634,9 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
         ]
 
         def leaf_tests(b, leaf, args):
-            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
-                               ox[b], oy[b], oz[b], dx[b], dy[b], dz[b],
-                               t_min[b], args)
+            return _leaf_tests_tri(leaf_ref, leaf, leaf_size, any_hit,
+                                   ox[b], oy[b], oz[b], dx[b], dy[b], dz[b],
+                                   t_min[b], args)
 
         for b in range(nblocks):
             stack_ref[b, 0] = jnp.int32(0)
@@ -833,16 +903,18 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         # unconditional compacted-push writes one past the top).
         stack_size = max(7 * int(bvh.wide_depth) + 16, 24)
         node_table = bvh.wnode_packed
+        leaf_table = bvh.tri_packed
     else:
         # Ordered binary traversal pushes at most one frame per tree level
         # (+2 slack for the two pushes a step can make before popping).
         stack_size = max(int(getattr(bvh, "max_depth", 62)) + 2, 16)
         node_table = bvh.node_packed
+        leaf_table = bvh.leaf_packed
     nb = max(int(multi), 1)
     while nb > 1 and o.shape[0] % nb:
         nb //= 2
     t, prim, u, v = _run(
-        node_table, bvh.leaf_packed, o, d, tlim, ls, any_hit, ordered,
+        node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
         stack_size=stack_size, wide=wide, multi=nb,
     )
     return unpack(t), unpack(prim), unpack(u), unpack(v)

@@ -21,7 +21,13 @@ def _build():
     cam = rt.Camera([-10.28, 2.10, -0.18], [0.0, 0.5, 0.0], aspect_ratio=1.0)
     create_sponza_scale_scene(r, cam)
     scene = r.pack()
-    return scene, bvhmod.build_scene_bvh(scene), cam
+    # leaf_size 8 = the TPU/Pallas configuration (build_scene_bvh picks 4 on
+    # the CPU backend this suite runs under; the budget numbers below are
+    # about the TPU tree).
+    bvh = bvhmod.build_bvh(
+        np.asarray(scene.positions), np.asarray(scene.indices), leaf_size=8
+    )
+    return scene, bvh, cam
 
 
 def test_sponza_scale_build_and_budget():
@@ -31,11 +37,14 @@ def test_sponza_scale_build_and_budget():
     # Tree integrity at scale.
     assert bvh.max_depth < 64
     assert int(jnp.sum(bvh.leaf_tris >= 0)) == n_tris
-    table_mb = (bvh.wnode_packed.size + bvh.leaf_packed.size) * 4 / 1e6
-    assert table_mb < 25.0, f"tables unexpectedly large: {table_mb:.1f} MB"
-    # The auto-select must degrade cleanly (CPU always; and if the tables
-    # exceed the VMEM budget on TPU, the XLA packet walk takes over without
-    # a cliff — traverse_packet below IS that fallback, exercised at scale).
+    # The wide tree + packed per-triangle table must fit the Pallas VMEM
+    # budget at Sponza scale (tri_packed stores each triangle once: 40 B/tri
+    # regardless of leaf occupancy).
+    table_mb = (bvh.wnode_packed.size + bvh.tri_packed.size) * 4 / 1e6
+    assert table_mb < 14.0, f"wide tables blew the VMEM budget: {table_mb:.1f} MB"
+    # On CPU the auto-select still falls back cleanly (no Mosaic attempt);
+    # on TPU the same tree stays on the fast path (bench.py / bench_traversal
+    # --scene sponza exercise it).
     assert not bvhmod._pallas_eligible(bvh)
 
 

@@ -107,6 +107,31 @@ def test_sanitizer_reports_nonfinite_pass_output():
     assert g2.last_sanitizer_report == {}
 
 
+def test_viewer_gizmo_moves_instance():
+    from rust_renderer_tpu.app import viewer
+    from rust_renderer_tpu.app.main import Application
+    from rust_renderer_tpu.models import create_cornell_box_scene
+    from rust_renderer_tpu.settings import RenderGraphMode
+
+    cfg = StaticConfig(shadow_map_size=32, cubemap_size=8, cubemap_mips=2,
+                       irradiance_size=4, brdf_lut_size=8, num_bounces=1)
+    app = Application(32, 32, RenderGraphMode.MINIMAL, cfg)
+    app.create_scene(create_cornell_box_scene)
+    app.total_samples = 7
+    state = {}
+    app.input.begin_frame()
+    app.input.set_key_down("tab")
+    viewer._handle_gizmo(app, state)
+    assert state["gizmo"] == 0
+    before = np.array(app.renderer.instances[0].transform)
+    app.input.begin_frame()
+    app.input.set_key_down("shift+l")
+    viewer._handle_gizmo(app, state)
+    after = np.array(app.renderer.instances[0].transform)
+    assert after[0, 3] == before[0, 3] + 0.5
+    assert app.total_samples == 0  # accumulation reset (main.rs:344-359)
+
+
 def test_viewer_ansi_raster_and_keysource():
     from rust_renderer_tpu.app import viewer
     from rust_renderer_tpu.input import Input

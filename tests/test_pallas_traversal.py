@@ -134,11 +134,15 @@ def test_pallas_multi_block_any_hit_and_degenerate():
 
 
 def test_wide_collapse_structure():
-    """Every triangle is reachable exactly once through the wide tree."""
+    """Every triangle is reachable exactly once through the wide tree.
+
+    Leaf refs encode OFFSETS into the packed per-triangle table; the
+    offsets reached from the root must partition the table (each triangle
+    stored and reachable exactly once)."""
     b = _soup_bvh(seed=11)
     w = np.asarray(b.wnode_packed)
     refs = w[:, 48:].view(np.int32)
-    leaf_rows = []
+    offsets = []
     stack = [0]
     seen_nodes = set()
     while stack:
@@ -151,9 +155,16 @@ def test_wide_collapse_structure():
             if r >= 0:
                 stack.append(int(r))
             else:
-                leaf_rows.append(-2 - int(r))
-    assert sorted(leaf_rows) == sorted(set(leaf_rows)), "leaf row repeated"
-    tris = np.asarray(b.leaf_tris)[leaf_rows]
-    tris = tris[tris >= 0]
+                offsets.append(-2 - int(r))
+    assert sorted(offsets) == sorted(set(offsets)), "leaf offset repeated"
+    tri_table = np.asarray(b.tri_packed)
+    ids = tri_table[:, 9].view(np.int32)
     n_tris = int(np.asarray(b.leaf_tris).max()) + 1
-    assert sorted(tris.tolist()) == list(range(n_tris))
+    # The first n_tris rows are the real triangles (dead tail after).
+    assert (ids[n_tris:] == -1).all()
+    assert sorted(ids[:n_tris].tolist()) == list(range(n_tris))
+    # Offsets partition [0, n_tris): sorted offsets start at 0 and every
+    # table row below n_tris belongs to exactly one leaf span.
+    so = sorted(offsets)
+    assert so[0] == 0
+    assert all(o < n_tris for o in so)

@@ -27,12 +27,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--scene", choices=["default", "sponza"], default="default")
+    ap.add_argument("--variants", default=None,
+                    help="comma list; default all")
     args = ap.parse_args()
     n = args.size
 
     r = rt.Renderer()
     cam = rt.Camera([-10.28, 2.10, -0.18], [0.0, 0.5, 0.0], aspect_ratio=1.0)
-    create_scene(r, cam)
+    if args.scene == "sponza":
+        from rust_renderer_tpu.models import create_sponza_scale_scene
+        create_sponza_scale_scene(r, cam)
+    else:
+        create_scene(r, cam)
     scene = r.pack()
     bvh = bvhmod.build_scene_bvh(scene)
     print(f"tris={scene.indices.shape[0]} binary_nodes={bvh.num_nodes} "
@@ -62,6 +69,8 @@ def main():
         "wide_multi4": dict(wide=True, multi=4),
         "wide_multi8": dict(wide=True, multi=8),
     }
+    if args.variants:
+        variants = {k: variants[k] for k in args.variants.split(",")}
     results = {}
     for name, kw in variants.items():
         f = jax.jit(lambda o, d, kw=kw: traverse_packet_pallas(bvh, o, d, **kw))
@@ -83,8 +92,8 @@ def main():
         td = (time.perf_counter() - t0) / args.reps * 1000
         print(f"{name:14s} primary {tp:8.2f} ms   divergent {td:8.2f} ms")
 
-    p_ref = np.asarray(results["binary"][0][1])
-    for name in ("wide", "wide_ordered"):
+    p_ref = np.asarray(results[list(results)[0]][0][1])
+    for name in list(results)[1:]:
         p = np.asarray(results[name][0][1])
         print(f"{name}: prim match vs binary = {np.array_equal(p, p_ref)} "
               f"(hits {np.sum(p>=0)}/{p.size})")
