@@ -59,18 +59,13 @@ class BVH(NamedTuple):
     #   leaf_packed (L, 40): 4 x [v0.xyz, e1.xyz, e2.xyz] + 4 tri ids (bitcast)
     node_packed: jax.Array
     leaf_packed: jax.Array
-    # Wide (BVH8) tree collapsed from the binary one: one row per wide node,
-    # 8 children each — (W, 56) f32: cols [8k+c] for k<6 are child c's
-    # (min.xyz, max.xyz); col 48+c is child c's ref (bitcast i32: >=0 wide
-    # node index, <=-2 encodes leaf row -(ref+2), WIDE_EMPTY empty slot).
-    # One scalar row fetch tests 8 boxes per traversal step instead of 1 —
-    # the Pallas kernel's walk shrinks ~3x (PERFORMANCE.md round-2 lever 1).
+    # Wide (BVH-WIDE_WIDTH) tree collapsed from the binary one: one row per
+    # wide node — (W, 7*width) f32: cols [width*k + c] for k<6 are child c's
+    # (min.xyz, max.xyz); col 6*width+c is child c's ref (bitcast i32: >=0
+    # wide node index, <=-2 encodes leaf row -(ref+2), WIDE_EMPTY empty
+    # slot). Width 16 fills a 128-lane VMEM row (rows cost 512 B regardless
+    # of logical width), and one scalar row fetch tests 16 boxes per step.
     wnode_packed: jax.Array
-    # Per-triangle packed table (T+ls, 10): [v0.xyz, e1.xyz, e2.xyz,
-    # orig_id bitcast], ordered leaf-by-leaf with a dead tail. The wide
-    # tree's leaf refs are OFFSETS into this table (no per-leaf padding:
-    # 40 B/triangle keeps Sponza-scale trees inside the VMEM budget).
-    tri_packed: jax.Array
     # Host-side static metadata (python ints, stay static in closures): exact
     # tree depths, used to size traversal stacks safely.
     max_depth: int = 64
@@ -96,7 +91,7 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     return expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
 
 
-WIDE_WIDTH = 8
+WIDE_WIDTH = 16
 WIDE_EMPTY = np.int32(-0x7FFFFFFF)  # empty child-slot sentinel
 
 
@@ -214,27 +209,12 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         ],
         axis=1,
     )
-    # Per-TRIANGLE packed table, ordered leaf-by-leaf: each triangle stored
-    # exactly ONCE (no half-full-leaf padding — the difference between a
-    # Sponza-scale tree fitting VMEM or not). Row = [v0.xyz, e1.xyz,
-    # e2.xyz, orig_id (bitcast)]; a leaf is an OFFSET into this table and
-    # the wide kernel tests leaf_size consecutive rows (rows past the
-    # leaf's count belong to the NEXT leaf — real triangles, so testing
-    # them is semantically harmless; the tail is dead-padded).
-    valid_mask = leaf_arr >= 0  # (L, LS)
-    counts = valid_mask.sum(1)
-    leaf_offset = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    flat = valid_mask.reshape(-1)
-    tri_rows = np.concatenate(
-        [
-            per_slot.reshape(-1, 9)[flat],
-            leaf_arr.reshape(-1, 1)[flat].astype(np.int32).view(np.float32),
-        ],
-        axis=1,
-    ).astype(np.float32)
-    dead = np.zeros((leaf_size, 10), np.float32)
-    dead[:, 9] = np.full(leaf_size, -1, np.int32).view(np.float32)
-    tri_packed = np.concatenate([tri_rows, dead], axis=0)
+    # Pad rows to the 128-lane VMEM tile width: rows cost 512 B regardless
+    # of logical width, so a 12-slot leaf (120 cols) uses the tile fully.
+    if leaf_packed.shape[1] < 128:
+        leaf_packed = np.pad(
+            leaf_packed, ((0, 0), (0, 128 - leaf_packed.shape[1]))
+        )
     # Exact max depth via a preorder walk: internal node i has left child i+1
     # and right child miss[i+1] (the left child's skip pointer is its sibling
     # — the DFS layout invariant). O(N) host pass at build time.
@@ -249,9 +229,7 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
             right = miss_i[i + 1]
             if right >= 0:
                 stack.append((int(right), depth + 1))
-    wnode_packed, wide_depth = _collapse_wide(
-        node_min, node_max, miss_i, leaf_i, leaf_ref_map=leaf_offset
-    )
+    wnode_packed, wide_depth = _collapse_wide(node_min, node_max, miss_i, leaf_i)
     return BVH(
         node_min=jnp.asarray(node_min, jnp.float32),
         node_max=jnp.asarray(node_max, jnp.float32),
@@ -264,7 +242,6 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         node_packed=jnp.asarray(node_packed),
         leaf_packed=jnp.asarray(leaf_packed),
         wnode_packed=jnp.asarray(wnode_packed),
-        tri_packed=jnp.asarray(tri_packed),
         max_depth=int(max_depth),
         wide_depth=int(wide_depth),
     )
@@ -467,14 +444,16 @@ def build_scene_bvh(scene, leaf_size: int | None = None) -> BVH:
     """Build from a PackedScene's world-space pools.
 
     Leaf size is backend-tuned: the Pallas kernel fetches leaf rows as
-    scalars, so fatter leaves (8) win 3x (shallower walks); the XLA gather
-    path prefers 4 (leaf math there is per-lane width-bound)."""
+    scalars and a VMEM row costs 512 B at any width <= 128 lanes, so leaves
+    hold 12 slots (12x9 coords + 12 ids = 120 of 128 lanes) — fat leaves
+    also shallow the walk; the XLA gather path prefers 4 (leaf math there
+    is per-lane width-bound)."""
     if leaf_size is None:
         try:
             is_tpu = jax.devices()[0].platform != "cpu"
         except Exception:
             is_tpu = False
-        leaf_size = 8 if is_tpu else LEAF_SIZE
+        leaf_size = 12 if is_tpu else LEAF_SIZE
     return build_bvh(
         np.asarray(scene.positions), np.asarray(scene.indices), leaf_size
     )
@@ -897,39 +876,53 @@ def _tile_like(x, shape, tile, packet):
     return jnp.pad(x.reshape(-1), (0, pad)).reshape(-1, packet)
 
 
-def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
-    """The Pallas traversal kernel keeps both tables VMEM-resident; use it on
-    TPU when they fit (~14 MB combined of the 16 MB budget — ray blocks and
-    outputs add ~300 KB). The wide table is ~7x smaller than the binary one,
-    so BVH8 raises the scene-size ceiling as well as the speed: a Sponza-scale
-    250k-triangle tree is ~13.4 MB (leaf rows 40 B/tri + wide nodes 256 B)
-    and still traverses in VMEM. Larger scenes fall back to the XLA packet
-    walk without a cliff (tested in test_bvh_scale.py)."""
+def _pallas_mode(bvh: BVH, wide: bool = True) -> str:
+    """Pallas backend selection: "full" keeps nodes + leaf rows VMEM-resident
+    (~14 MB of the 16 MB scoped-vmem budget); "dma" keeps only the wide node
+    table resident and DMAs one 512 B leaf row from HBM per leaf pop —
+    Sponza-scale and beyond; "none" falls back to the XLA packet walk
+    (always on CPU). Bytes are counted at the REAL VMEM layout — tiles are
+    (8,128), so every table row costs ceil(width/128)*512 B regardless of
+    logical width (measured the hard way: a (260k, 10) table is 133 MB in
+    VMEM, not 10 MB). Hence 12-slot leaf rows (120/128 lanes used) and
+    width-16 wide nodes (112/128)."""
     try:
         import jax as _jax
 
         if _jax.devices()[0].platform == "cpu":
-            return False
+            return "none"
     except Exception:
-        return False
-    if wide:
-        table_bytes = (bvh.wnode_packed.size + bvh.tri_packed.size) * 4
-    else:
-        table_bytes = (bvh.node_packed.size + bvh.leaf_packed.size) * 4
-    return table_bytes < 14 * 1024 * 1024
+        return "none"
+
+    def vmem_rows_bytes(a):
+        rows, cols = a.shape
+        return rows * -(-cols // 128) * 512
+
+    node_bytes = vmem_rows_bytes(bvh.wnode_packed if wide else bvh.node_packed)
+    leaf_bytes = vmem_rows_bytes(bvh.leaf_packed)
+    if node_bytes + leaf_bytes < 14 * 1024 * 1024:
+        return "full"
+    if wide and node_bytes < 8 * 1024 * 1024:
+        return "dma"
+    return "none"
+
+
+def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
+    return _pallas_mode(bvh, wide) != "none"
 
 
 def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     wide: bool = True, ordered: bool = False):
     if sort:
         return traverse_packet_sorted
-    if packet and _pallas_eligible(bvh, wide=wide):
+    mode = _pallas_mode(bvh, wide=wide) if packet else "none"
+    if mode != "none":
         import functools
 
         from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
         return functools.partial(traverse_packet_pallas, wide=wide,
-                                 ordered=ordered)
+                                 ordered=ordered, dma_leaf=(mode == "dma"))
     return traverse_packet if packet else traverse
 
 

@@ -5,9 +5,10 @@ costs per step: a per-block row gather from HBM and ~50 small fusion
 dispatches (~4 us each) per `while` iteration. This kernel moves the whole
 walk inside ONE kernel:
 
-- the tree lives in VMEM for the kernel's lifetime: the BVH8 node table
-  plus a packed per-triangle table (40 B/tri, each triangle stored once —
-  a Sponza-scale 260k-tri tree is ~13 MB of the 16 MB VMEM);
+- the tree lives in VMEM for the kernel's lifetime: width-16 wide nodes
+  (112 of the 128 lanes a VMEM row costs) + 12-slot leaf rows (120/128).
+  Trees over the ~14 MB scoped-vmem budget keep the node table resident
+  and DMA leaf rows from HBM per leaf pop (dma_leaf=True, auto-selected);
 - each grid step owns one 1024-ray packet, laid out as (8, 128) planar
   component registers;
 - the per-block traversal cursor is a SCALAR: node and leaf rows are fetched
@@ -45,8 +46,14 @@ def _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
     (see PERFORMANCE.md round-2 bisect). Ties keep the lowest slot, matching
     the sequential semantics exactly.
     """
-    best_t, best_prim, best_u, best_v, done = args
     lrow = leaf_ref[jnp.maximum(leaf, 0)]
+    return _leaf_tests_from_row(lrow, leaf_size, any_hit,
+                                ox, oy, oz, dx, dy, dz, t_min, args)
+
+
+def _leaf_tests_from_row(lrow, leaf_size, any_hit,
+                         ox, oy, oz, dx, dy, dz, t_min, args):
+    best_t, best_prim, best_u, best_v, done = args
     lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
     alive = done == 0
     cands = []
@@ -85,75 +92,6 @@ def _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
         ta, pa, ua, va = a
         tb, pb, ub, vb = b
         take_b = tb < ta  # strict: the earlier slot keeps ties
-        return (
-            jnp.where(take_b, tb, ta),
-            jnp.where(take_b, pb, pa),
-            jnp.where(take_b, ub, ua),
-            jnp.where(take_b, vb, va),
-        )
-
-    while len(cands) > 1:
-        cands = [
-            merge(cands[i], cands[i + 1]) if i + 1 < len(cands) else cands[i]
-            for i in range(0, len(cands), 2)
-        ]
-    t_c, p_c, u_c, v_c = cands[0]
-    improved = t_c < best_t
-    best_t = jnp.where(improved, t_c, best_t)
-    best_prim = jnp.where(improved, p_c, best_prim)
-    best_u = jnp.where(improved, u_c, best_u)
-    best_v = jnp.where(improved, v_c, best_v)
-    if any_hit:
-        done = jnp.maximum(done, improved.astype(jnp.int32))
-    return best_t, best_prim, best_u, best_v, done
-
-
-def _leaf_tests_tri(tri_ref, offset, leaf_size, any_hit,
-                    ox, oy, oz, dx, dy, dz, t_min, args):
-    """Leaf test against the packed PER-TRIANGLE table: leaf = offset into
-    tri_ref, test leaf_size consecutive rows ([v0, e1, e2, id]). Rows past
-    the leaf's actual count belong to the next leaf (real triangles — extra
-    tests are semantically harmless) or the dead tail (id -1). Slot tests
-    are independent + tournament-merged like _leaf_tests."""
-    best_t, best_prim, best_u, best_v, done = args
-    alive = done == 0
-    cands = []
-    for s in range(leaf_size):
-        trow = tri_ref[offset + s]
-        trow_i = jax.lax.bitcast_convert_type(trow, jnp.int32)
-        v0x, v0y, v0z = trow[0], trow[1], trow[2]
-        e1x, e1y, e1z = trow[3], trow[4], trow[5]
-        e2x, e2y, e2z = trow[6], trow[7], trow[8]
-        tri_id = trow_i[9]
-        px_ = dy * e2z - dz * e2y
-        py_ = dz * e2x - dx * e2z
-        pz_ = dx * e2y - dy * e2x
-        det = e1x * px_ + e1y * py_ + e1z * pz_
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok = (
-            (tri_id >= 0)
-            & (jnp.abs(det) > 1e-12)
-            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t > t_min) & (t < best_t)
-            & alive
-        )
-        cands.append((
-            jnp.where(ok, t, 3.0e38),
-            jnp.where(ok, tri_id, -1),
-            u, v,
-        ))
-
-    def merge(a, b):
-        ta, pa, ua, va = a
-        tb, pb, ub, vb = b
-        take_b = tb < ta
         return (
             jnp.where(take_b, tb, ta),
             jnp.where(take_b, pb, pa),
@@ -407,7 +345,8 @@ def _make_kernel_ordered(leaf_size: int, any_hit: bool):
     return kernel
 
 
-def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
+def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool,
+                      dma_leaf: bool = False):
     """Wide (BVH8) stack traversal: each popped internal node tests its 8
     children against the whole packet from ONE scalar row fetch.
 
@@ -421,12 +360,15 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
     scalars) so best_t shrinks early and far subtrees die on the
     `tnear <= best_t` cull.
     """
-    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
 
     def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
                t_out, prim_out, u_out, v_out, *rest):
-        stack_ref = rest[-1]
-        stats_out = rest[0] if len(rest) == 2 else None
+        n_scratch = 3 if dma_leaf else 1
+        stack_ref = rest[-n_scratch]
+        if dma_leaf:
+            rowbuf_ref, dma_sem = rest[-2], rest[-1]
+        stats_out = rest[0] if len(rest) == n_scratch + 1 else None
         ox = o_ref[0, 0]
         oy = o_ref[0, 1]
         oz = o_ref[0, 2]
@@ -445,8 +387,21 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
         degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
 
         def leaf_tests(leaf, args):
-            return _leaf_tests_tri(leaf_ref, leaf, leaf_size, any_hit,
-                                   ox, oy, oz, dx, dy, dz, t_min, args)
+            if dma_leaf:
+                # At-scale mode: the leaf table stays in HBM; fetch one
+                # 512 B row per leaf pop (nodes remain VMEM-resident).
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
+                    rowbuf_ref, dma_sem,
+                )
+                dma.start()
+                dma.wait()
+                return _leaf_tests_from_row(
+                    rowbuf_ref[0], leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                )
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox, oy, oz, dx, dy, dz, t_min, args)
 
         stack_ref[0] = jnp.int32(0)
         zero_i = jnp.int32(0)
@@ -477,7 +432,7 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
                     alive = alive_v[0, 0]
                 else:
                     alive = jnp.int32(1)
-                return out + (zero_i,) * 9 + (zero_f,) * 8 + (alive,)
+                return out + (zero_i,) * (W + 1) + (zero_f,) * W + (alive,)
 
             def do_internal(args):
                 best_t, best_prim, best_u, best_v, done = args
@@ -487,13 +442,13 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
                 children = []
                 tns = []
                 packed = jnp.zeros((8, 128), jnp.int32)
-                for c in range(8):
+                for c in range(W):
                     tx0 = (row[c] - ox) * ix
-                    ty0 = (row[8 + c] - oy) * iy
-                    tz0 = (row[16 + c] - oz) * iz
-                    tx1 = (row[24 + c] - ox) * ix
-                    ty1 = (row[32 + c] - oy) * iy
-                    tz1 = (row[40 + c] - oz) * iz
+                    ty0 = (row[W + c] - oy) * iy
+                    tz0 = (row[2 * W + c] - oz) * iz
+                    tx1 = (row[3 * W + c] - ox) * ix
+                    ty1 = (row[4 * W + c] - oy) * iy
+                    tz1 = (row[5 * W + c] - oz) * iz
                     tnear = jnp.maximum(
                         jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
                         jnp.minimum(tz0, tz1),
@@ -512,10 +467,10 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
                     # have ~µs latency and serialize the walk (measured:
                     # 1.4 µs/iteration with 16 reductions).
                     packed = packed | (hit.astype(jnp.int32) << c)
-                    children.append(row_i[48 + c])
+                    children.append(row_i[6 * W + c])
                     if ordered:
                         tns.append(jnp.min(jnp.where(hit, tnear, 3.0e38)))
-                # One reduction answers "did any lane hit child c" for all 8
+                # One reduction answers "did any lane hit child c" for all W
                 # children at once: OR-tree across lanes/sublanes with
                 # log2 rotations (Mosaic has no or-reduce primitive), then a
                 # single max (every element now holds the full OR).
@@ -525,13 +480,13 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
                     packed = packed | pltpu.roll(packed, s, axis=1)
                 mask = packed[0, 0]  # all elements equal after the OR-tree
                 empty_bits = jnp.int32(0)
-                for c in range(8):
+                for c in range(W):
                     empty_bits = empty_bits | (
                         (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
                     )
                 mask = mask & ~empty_bits
                 if not ordered:
-                    tns = [zero_f] * 8
+                    tns = [zero_f] * W
                 return (best_t, best_prim, best_u, best_v, done, mask,
                         *children, *tns, jnp.int32(1))
 
@@ -540,17 +495,20 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
                 (best_t, best_prim, best_u, best_v, done),
             )
             best_t, best_prim, best_u, best_v, done, mask = res[:6]
-            children = list(res[6:14])
-            tns = list(res[14:22])
-            alive = res[22]
-            bits = [(mask >> c) & 1 for c in range(8)]
+            children = list(res[6:6 + W])
+            tns = list(res[6 + W:6 + 2 * W])
+            alive = res[6 + 2 * W]
+            bits = [(mask >> c) & 1 for c in range(W)]
 
             if ordered:
-                # Push far-to-near: sort descending by packet-min tnear with a
-                # Batcher sorting network (19 scalar compare-exchanges).
-                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
-                       (5, 7), (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7),
-                       (2, 4), (3, 5), (1, 2), (3, 4), (5, 6)]
+                # Push far-to-near: sort descending by packet-min tnear with
+                # an odd-even transposition network (width exchanges x width
+                # rounds; scalar compare-exchanges).
+                net = [
+                    (i, i + 1)
+                    for r in range(W)
+                    for i in range(r % 2, W - 1, 2)
+                ]
                 for i, j in net:
                     swap = tns[i] < tns[j]  # descending
                     for arr in (tns, children, bits):
@@ -560,7 +518,7 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
 
             # (Unconditional compacted pushes were measured 3.5x SLOWER here —
             # dynamic-index SMEM stores cost more than taken branches.)
-            for c in range(8):
+            for c in range(W):
                 @pl.when(bits[c] == 1)
                 def _(child=children[c], at=sp):
                     stack_ref[at] = child
@@ -594,7 +552,8 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool):
     return kernel
 
 
-def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
+def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
+                            dma_leaf: bool = False):
     """BVH8 stack traversal with NBLOCKS independent ray blocks co-resident
     in one grid step — the latency-interleaving kernel.
 
@@ -609,10 +568,12 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
     slowest co-resident block completes; adjacent blocks are neighboring
     image tiles with similar path lengths, so the tail waste is small.
     """
-    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
 
     def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
-               t_out, prim_out, u_out, v_out, stack_ref):
+               t_out, prim_out, u_out, v_out, stack_ref, *extra):
+        if dma_leaf:
+            rowbuf_ref, dma_sem = extra
         ox = [o_ref[b, 0] for b in range(nblocks)]
         oy = [o_ref[b, 1] for b in range(nblocks)]
         oz = [o_ref[b, 2] for b in range(nblocks)]
@@ -634,9 +595,20 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
         ]
 
         def leaf_tests(b, leaf, args):
-            return _leaf_tests_tri(leaf_ref, leaf, leaf_size, any_hit,
-                                   ox[b], oy[b], oz[b], dx[b], dy[b], dz[b],
-                                   t_min[b], args)
+            if dma_leaf:
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
+                    rowbuf_ref, dma_sem,
+                )
+                dma.start()
+                dma.wait()
+                return _leaf_tests_from_row(
+                    rowbuf_ref[0], leaf_size, any_hit,
+                    ox[b], oy[b], oz[b], dx[b], dy[b], dz[b], t_min[b], args,
+                )
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox[b], oy[b], oz[b], dx[b], dy[b], dz[b],
+                               t_min[b], args)
 
         for b in range(nblocks):
             stack_ref[b, 0] = jnp.int32(0)
@@ -672,7 +644,7 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
 
                 def do_leaf(args, b=b, ref=ref):
                     out = leaf_tests(b, -2 - ref, args)
-                    return out + (zero_v, *(zero_i,) * 9)
+                    return out + (zero_v, *(zero_i,) * (W + 1))
 
                 def do_internal(args, b=b, ref=ref):
                     best_t, best_prim, best_u, best_v, done = args
@@ -681,13 +653,13 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
                     not_done = done == 0
                     children = []
                     packed = zero_v
-                    for c in range(8):
+                    for c in range(W):
                         tx0 = (row[c] - ox[b]) * ix[b]
-                        ty0 = (row[8 + c] - oy[b]) * iy[b]
-                        tz0 = (row[16 + c] - oz[b]) * iz[b]
-                        tx1 = (row[24 + c] - ox[b]) * ix[b]
-                        ty1 = (row[32 + c] - oy[b]) * iy[b]
-                        tz1 = (row[40 + c] - oz[b]) * iz[b]
+                        ty0 = (row[W + c] - oy[b]) * iy[b]
+                        tz0 = (row[2 * W + c] - oz[b]) * iz[b]
+                        tx1 = (row[3 * W + c] - ox[b]) * ix[b]
+                        ty1 = (row[4 * W + c] - oy[b]) * iy[b]
+                        tz1 = (row[5 * W + c] - oz[b]) * iz[b]
                         tnear = jnp.maximum(
                             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
                             jnp.minimum(tz0, tz1),
@@ -702,9 +674,9 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
                             & not_done
                         )
                         packed = packed | (hit.astype(jnp.int32) << c)
-                        children.append(row_i[48 + c])
+                        children.append(row_i[6 * W + c])
                     empty_bits = jnp.int32(0)
-                    for c in range(8):
+                    for c in range(W):
                         empty_bits = empty_bits | (
                             (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
                         )
@@ -717,8 +689,8 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
                 )
                 bests[b] = res[:5]
                 packed_vecs.append(res[5])
-                childrens.append(list(res[6:14]))
-                empties.append(res[14])
+                childrens.append(list(res[6:6 + W]))
+                empties.append(res[6 + W])
                 actives.append(active)
                 leaves.append(is_leaf)
                 sps[b] = jnp.maximum(sps[b] - 1, 0)
@@ -730,8 +702,10 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
             # pays a single OR-tree + extract: 4 blocks (8 bits each, closest
             # hit) or 3 blocks (9 bits incl. the any-lane-alive bit, any-hit)
             # per roundtrip.
-            bits_per = 9 if any_hit else 8
-            gang_size = 3 if any_hit else 4
+            bits_per = W + 1 if any_hit else W
+            # width 16: 2 blocks/extract closest-hit, 1 any-hit;
+            # width 8: 4 and 3.
+            gang_size = max(32 // bits_per, 1)
             masks = [None] * nblocks
             alive_scalars = [None] * nblocks
             for g0 in range(0, nblocks, gang_size):
@@ -741,7 +715,7 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
                     packed = packed_vecs[b]
                     if any_hit:
                         packed = packed | (
-                            (bests[b][4] == 0).astype(jnp.int32) << 8
+                            (bests[b][4] == 0).astype(jnp.int32) << W
                         )
                     combined = combined | (packed << (bits_per * k))
                 for s in (1, 2, 4):
@@ -749,17 +723,20 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
                 for s in (1, 2, 4, 8, 16, 32, 64):
                     combined = combined | pltpu.roll(combined, s, axis=1)
                 word = combined[0, 0]
+                full = jnp.int32((1 << W) - 1)
                 for k, b in enumerate(gang):
                     w = word >> (bits_per * k)
-                    masks[b] = jnp.where(actives[b], w & 255 & ~empties[b], 0)
+                    masks[b] = jnp.where(
+                        actives[b], w & full & ~empties[b], 0
+                    )
                     if any_hit:
-                        alive_scalars[b] = (w >> 8) & 1
+                        alive_scalars[b] = (w >> W) & 1
 
             # Phase 3: pushes (pl.when: taken branches beat unconditional
             # dynamic-index SMEM stores — measured).
             for b in range(nblocks):
                 sp = sps[b]
-                for c in range(8):
+                for c in range(W):
                     bit = (masks[b] >> c) & 1
 
                     @pl.when(bit == 1)
@@ -799,11 +776,12 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int):
     jax.jit,
     static_argnames=(
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
-        "multi",
+        "multi", "dma_leaf",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
-         ordered=False, stack_size=64, wide=False, stats=False, multi=1):
+         ordered=False, stack_size=64, wide=False, stats=False, multi=1,
+         dma_leaf=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -824,18 +802,27 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # node table, whole
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf table, whole
+        # leaf table: VMEM-resident, or HBM with per-pop row DMA at scale
+        pl.BlockSpec(memory_space=pl.ANY if dma_leaf
+                     else pltpu.VMEM),
         in_block(3),
         in_block(3),
         in_block(2),
     ]
     out_specs = [out_block] * (5 if stats else 4)
+    leaf_cols = leaf_packed.shape[1]
+    dma_scratch = [
+        pltpu.VMEM((1, leaf_cols), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ] if dma_leaf else []
     if wide and nb > 1:
-        kernel = _make_kernel_wide_multi(leaf_size, any_hit, nb)
-        scratch = [pltpu.SMEM((nb, stack_size), jnp.int32)]
+        kernel = _make_kernel_wide_multi(leaf_size, any_hit, nb,
+                                         dma_leaf=dma_leaf)
+        scratch = [pltpu.SMEM((nb, stack_size), jnp.int32)] + dma_scratch
     elif wide:
-        kernel = _make_kernel_wide(leaf_size, any_hit, ordered)
-        scratch = [pltpu.SMEM((stack_size,), jnp.int32)]
+        kernel = _make_kernel_wide(leaf_size, any_hit, ordered,
+                                   dma_leaf=dma_leaf)
+        scratch = [pltpu.SMEM((stack_size,), jnp.int32)] + dma_scratch
     elif ordered:
         kernel = _make_kernel_ordered(leaf_size, any_hit)
         scratch = [pltpu.SMEM((stack_size,), jnp.int32)]
@@ -856,14 +843,16 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
 def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            any_hit: bool = False, tile: int = 32,
                            ordered: bool = False, wide: bool = True,
-                           multi: int = 4):
+                           multi: int = 1, dma_leaf: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
     per-block SMEM stack — one scalar row fetch tests 8 boxes; wide=False
     keeps the binary skip-pointer walk (round-1 kernel). multi>1 co-resides
-    that many ray blocks per grid step with interleaved walks (overlaps the
-    per-iteration scalar-reduction latency; wide only)."""
+    that many ray blocks per grid step with interleaved walks (amortizes the
+    per-step fixed cost; wide only. With width-16 nodes the single-block
+    kernel matches it on divergent fronts and beats it on primaries, so 1
+    is the default — see PERFORMANCE.md)."""
     shape = origin.shape[:-1]
 
     if len(shape) == 2 and shape[0] % tile == 0 and shape[1] % tile == 0:
@@ -898,12 +887,15 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
 
     ls = bvh.leaf_tris.shape[1]
     if wide:
-        # A popped wide node pushes up to 7 deferred siblings per level of
-        # the wide tree (+1 for the node in flight; +8 slack for the
-        # unconditional compacted-push writes one past the top).
-        stack_size = max(7 * int(bvh.wide_depth) + 16, 24)
+        # A popped wide node pushes up to width-1 deferred siblings per
+        # level of the wide tree (+width slack).
+        from rust_renderer_tpu.ops.bvh import WIDE_WIDTH
+
+        stack_size = max(
+            (WIDE_WIDTH - 1) * int(bvh.wide_depth) + 2 * WIDE_WIDTH, 48
+        )
         node_table = bvh.wnode_packed
-        leaf_table = bvh.tri_packed
+        leaf_table = bvh.leaf_packed
     else:
         # Ordered binary traversal pushes at most one frame per tree level
         # (+2 slack for the two pushes a step can make before popping).
@@ -913,8 +905,9 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     nb = max(int(multi), 1)
     while nb > 1 and o.shape[0] % nb:
         nb //= 2
+    assert not (dma_leaf and not wide), "dma_leaf requires the wide kernel"
     t, prim, u, v = _run(
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
-        stack_size=stack_size, wide=wide, multi=nb,
+        stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,
     )
     return unpack(t), unpack(prim), unpack(u), unpack(v)

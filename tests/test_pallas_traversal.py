@@ -120,6 +120,24 @@ def test_pallas_multi_block_matches():
         )
 
 
+def test_pallas_dma_leaf_matches():
+    """The at-scale mode (leaf table in HBM, one row DMA'd per leaf pop)
+    is exact vs the VMEM-resident walk."""
+    b = _soup_bvh(seed=21)
+    o, d = _rays(seed=22)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, dma_leaf=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+    # any-hit + multi-block dma
+    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, dma_leaf=True,
+                                    multi=2)
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+
+
 def test_pallas_multi_block_any_hit_and_degenerate():
     b = _soup_bvh(seed=15)
     o, d = _rays(seed=16)
@@ -134,15 +152,12 @@ def test_pallas_multi_block_any_hit_and_degenerate():
 
 
 def test_wide_collapse_structure():
-    """Every triangle is reachable exactly once through the wide tree.
-
-    Leaf refs encode OFFSETS into the packed per-triangle table; the
-    offsets reached from the root must partition the table (each triangle
-    stored and reachable exactly once)."""
+    """Every triangle is reachable exactly once through the wide tree."""
     b = _soup_bvh(seed=11)
+    width = bvhmod.WIDE_WIDTH
     w = np.asarray(b.wnode_packed)
-    refs = w[:, 48:].view(np.int32)
-    offsets = []
+    refs = w[:, 6 * width:7 * width].view(np.int32)
+    leaf_rows = []
     stack = [0]
     seen_nodes = set()
     while stack:
@@ -155,16 +170,9 @@ def test_wide_collapse_structure():
             if r >= 0:
                 stack.append(int(r))
             else:
-                offsets.append(-2 - int(r))
-    assert sorted(offsets) == sorted(set(offsets)), "leaf offset repeated"
-    tri_table = np.asarray(b.tri_packed)
-    ids = tri_table[:, 9].view(np.int32)
+                leaf_rows.append(-2 - int(r))
+    assert sorted(leaf_rows) == sorted(set(leaf_rows)), "leaf row repeated"
+    tris = np.asarray(b.leaf_tris)[leaf_rows]
+    tris = tris[tris >= 0]
     n_tris = int(np.asarray(b.leaf_tris).max()) + 1
-    # The first n_tris rows are the real triangles (dead tail after).
-    assert (ids[n_tris:] == -1).all()
-    assert sorted(ids[:n_tris].tolist()) == list(range(n_tris))
-    # Offsets partition [0, n_tris): sorted offsets start at 0 and every
-    # table row below n_tris belongs to exactly one leaf span.
-    so = sorted(offsets)
-    assert so[0] == 0
-    assert all(o < n_tris for o in so)
+    assert sorted(tris.tolist()) == list(range(n_tris))

@@ -71,8 +71,12 @@ def main():
     }
     if args.variants:
         variants = {k: variants[k] for k in args.variants.split(",")}
+    mode = bvhmod._pallas_mode(bvh)
+    print(f"pallas mode: {mode}")
     results = {}
     for name, kw in variants.items():
+        if kw.get("wide", False) and mode == "dma":
+            kw = dict(kw, dma_leaf=True)
         f = jax.jit(lambda o, d, kw=kw: traverse_packet_pallas(bvh, o, d, **kw))
         out = f(o, d)  # compile + run
         jax.block_until_ready(out)

@@ -659,6 +659,94 @@ if __name__ == "__main__":
         )
     if which in ("all", "r5"):
         run_call(p12_real_body(), name="P12 real body (synthetic chase)")
+    if which in ("all", "r7"):
+        # A: 1D VMEM footprint — compiles only if 1D arrays are packed
+        # (a (3M,) f32 = 12 MB logical; 8x sublane padding would OOM).
+        def p14a(nelem):
+            def kernel(flat_ref, o_ref):
+                def body(state):
+                    i, cur, acc = state
+                    v = flat_ref[cur]
+                    nxt = (cur * 5 + 17 + jnp.int32(v * 0)) % nelem
+                    return (i + 1, nxt, acc + v)
+
+                _, _, acc = jax.lax.while_loop(
+                    lambda s: s[0] < K, body,
+                    (jnp.int32(0), jnp.int32(0), jnp.float32(0)))
+                o_ref[...] = jnp.full((8, 128), acc)
+
+            def call(flat):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                )(flat)
+
+            flat = jnp.arange(nelem, dtype=jnp.float32)
+            try:
+                f = jax.jit(call)
+                out = f(flat)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    out = f(flat)
+                jax.block_until_ready(out)
+                ms = (time.perf_counter() - t0) / 5 * 1000
+                print(f"P14a 1D VMEM ({nelem*4//2**20} MB): OK "
+                      f"{ms/K*1e6:.1f} ns/load-chase")
+            except Exception as e:
+                print(f"P14a 1D VMEM ({nelem*4//2**20} MB): FAILED — "
+                      f"{str(e)[:160]}")
+
+        p14a(1 << 20)   # 4 MB
+        p14a(3 << 20)   # 12 MB
+
+        # B: gated chase with 56 flat scalar loads per iteration (the
+        # planarized internal-node pop shape).
+        def p14b():
+            nelem = 1 << 20
+
+            def kernel(flat_ref, o_ref):
+                def body(state):
+                    i, cur, acc = state
+                    s = jnp.float32(0)
+                    for c in range(56):
+                        s = s + flat_ref[cur + c * 16384]
+                    nxt = (cur * 5 + 13 + jnp.int32(s * 0)) % 16384
+                    return (i + 1, nxt, acc + s)
+
+                _, _, acc = jax.lax.while_loop(
+                    lambda s: s[0] < K, body,
+                    (jnp.int32(0), jnp.int32(0), jnp.float32(0)))
+                o_ref[...] = jnp.full((8, 128), acc)
+
+            def call(flat):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                )(flat)
+
+            flat = jnp.arange(nelem, dtype=jnp.float32)
+            run_call_direct(call, flat, "P14b 56 flat loads/iter chase")
+
+        def run_call_direct(call, arg, name):
+            try:
+                f = jax.jit(call)
+                out = f(arg)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    out = f(arg)
+                jax.block_until_ready(out)
+                ms = (time.perf_counter() - t0) / 5 * 1000
+                print(f"{name}: {ms/K*1e6:.1f} ns/iter")
+            except Exception as e:
+                print(f"{name}: FAILED — {str(e)[:160]}")
+
+        p14b()
     if which in ("all", "r6"):
         for iters in (38, 408):
             for leaf_cols in (102, 128):
