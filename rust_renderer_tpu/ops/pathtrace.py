@@ -70,11 +70,10 @@ def _nee(scene, view, any_hit, rng_state, origin, throughput, active,
 
     valid = jnp.logical_and(total_weights != 0.0, light_index >= 0)
     safe_index = jnp.clip(light_index, 0, scene.light_pos.shape[0] - 1)
-    # One packed row gather (pos+intensity) instead of an (L, 3) table gather.
-    from rust_renderer_tpu.ops.gather import row_gather
-
-    lrows = row_gather(
-        restirops._light_rows(scene), safe_index.reshape(-1)
+    # One-hot matmul for small light tables (gather-free), packed row
+    # gather otherwise (restirops.select_light_rows).
+    lrows = restirops.select_light_rows(
+        scene, safe_index.reshape(-1)
     ).reshape(shape + (6,))
     to_light = lrows[..., :3] - origin
     distance_to_light = jnp.linalg.norm(to_light, axis=-1)

@@ -161,3 +161,49 @@ def test_spatial_reuse_improves_or_preserves():
     assert abs(ms - mi) / mi < 0.05
     # Variance should not increase with reuse (same target everywhere).
     assert np.var(np.asarray(p_s)) <= np.var(np.asarray(p_i)) * 1.05
+
+
+def test_dense_light_path_matches_gather():
+    """The one-hot small-table fast paths (target_function, resample,
+    select_light_rows) are exact vs the gather formulation."""
+    scene = _light_scene(17, seed=9)
+    rs = np.random.default_rng(11)
+    pos = jnp.asarray(rs.uniform(-6, 6, (33, 3)).astype(np.float32))
+    idx = jnp.asarray(rs.integers(-1, 17, 33).astype(np.int32))
+
+    dense = restir.target_function(scene, idx, pos)
+    # Force the gather path by faking a huge pixel count budget check:
+    import rust_renderer_tpu.ops.restir as rmod
+
+    old = rmod._DENSE_LIGHT_MAX
+    try:
+        rmod._DENSE_LIGHT_MAX = 0
+        gathered = restir.target_function(scene, idx, pos)
+        rows_g = restir.select_light_rows(
+            scene, jnp.clip(idx, 0, 16)
+        )
+    finally:
+        rmod._DENSE_LIGHT_MAX = old
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gathered),
+                               rtol=2e-5)
+    rows_d = restir.select_light_rows(scene, jnp.clip(idx, 0, 16))
+    np.testing.assert_allclose(np.asarray(rows_d), np.asarray(rows_g),
+                               rtol=2e-5)
+
+    # resample: identical RNG stream -> identical reservoirs on both paths.
+    state = rng.init_rng(
+        jnp.arange(33, dtype=jnp.int32), jnp.zeros(33, jnp.int32), 33, 1
+    )
+    s_d, res_d = restir.resample(
+        scene, state, pos, jnp.int32(17), jnp.int32(1024)
+    )
+    try:
+        rmod._DENSE_LIGHT_MAX = 0
+        s_g, res_g = restir.resample(
+            scene, state, pos, jnp.int32(17), jnp.int32(1024)
+        )
+    finally:
+        rmod._DENSE_LIGHT_MAX = old
+    np.testing.assert_array_equal(np.asarray(res_d.Y), np.asarray(res_g.Y))
+    np.testing.assert_allclose(np.asarray(res_d.W_X), np.asarray(res_g.W_X),
+                               rtol=2e-5)

@@ -30,7 +30,7 @@ import rust_renderer_tpu as rt
 from rust_renderer_tpu.models import create_scene
 from rust_renderer_tpu.ops import bvh as bvhmod
 from rust_renderer_tpu.ops import rays as rayops
-from rust_renderer_tpu.ops.bvh import WIDE_EMPTY
+from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
 from rust_renderer_tpu.settings import RenderSettings
 
 
@@ -106,13 +106,23 @@ def make_kernel(leaf_size, variant):
         stack_ref[0] = jnp.int32(0)
         zero_i = jnp.int32(0)
 
-        def cond(state):
-            return state[0] > 0
+        if variant.startswith("statictrip"):
+            # Timing-only: fixed trip count (results bogus past stack
+            # exhaustion, pops clamped memory-safe). Isolates whether the
+            # data-dependent while condition is what makes real iterations
+            # ~30x costlier than the P12/P13 synthetic replicas.
+            trips = 38 if "38" in variant else 441
+
+            def cond(state):
+                return state[6] < trips
+        else:
+            def cond(state):
+                return state[0] > 0
 
         def body(state):
             sp, best_t, best_prim, best_u, best_v, done, iters = state
-            ref = stack_ref[sp - 1]
-            sp = sp - 1
+            ref = stack_ref[jnp.maximum(sp - 1, 0)]
+            sp = jnp.maximum(sp - 1, 0)
             is_leaf = ref < 0
             iters = iters + 1
 
@@ -121,7 +131,7 @@ def make_kernel(leaf_size, variant):
                     out = args
                 else:
                     out = leaf_tests(-2 - ref, args)
-                return out + (zero_i,) * 9
+                return out + (zero_i,) * (W + 1)
 
             def do_internal(args):
                 best_t, best_prim, best_u, best_v, done = args
@@ -130,13 +140,13 @@ def make_kernel(leaf_size, variant):
                 not_done = done == 0
                 children = []
                 packed = jnp.zeros((8, 128), jnp.int32)
-                for c in range(8):
+                for c in range(W):
                     tx0 = (row[c] - ox) * ix
-                    ty0 = (row[8 + c] - oy) * iy
-                    tz0 = (row[16 + c] - oz) * iz
-                    tx1 = (row[24 + c] - ox) * ix
-                    ty1 = (row[32 + c] - oy) * iy
-                    tz1 = (row[40 + c] - oz) * iz
+                    ty0 = (row[W + c] - oy) * iy
+                    tz0 = (row[2 * W + c] - oz) * iz
+                    tx1 = (row[3 * W + c] - ox) * ix
+                    ty1 = (row[4 * W + c] - oy) * iy
+                    tz1 = (row[5 * W + c] - oz) * iz
                     tnear = jnp.maximum(
                         jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
                         jnp.minimum(tz0, tz1),
@@ -154,14 +164,14 @@ def make_kernel(leaf_size, variant):
                             & not_done
                         )
                     packed = packed | (hit.astype(jnp.int32) << c)
-                    children.append(row_i[48 + c])
+                    children.append(row_i[6 * W + c])
                 for s in (1, 2, 4):
                     packed = packed | pltpu.roll(packed, s, axis=0)
                 for s in (1, 2, 4, 8, 16, 32, 64):
                     packed = packed | pltpu.roll(packed, s, axis=1)
                 mask = packed[0, 0]
                 empty_bits = jnp.int32(0)
-                for c in range(8):
+                for c in range(W):
                     empty_bits = empty_bits | (
                         (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
                     )
@@ -190,16 +200,18 @@ def make_kernel(leaf_size, variant):
                     (best_t, best_prim, best_u, best_v, done),
                 )
             best_t, best_prim, best_u, best_v, done, mask = res[:6]
-            children = list(res[6:14])
-            bits = [(mask >> c) & 1 for c in range(8)]
+            children = list(res[6:6 + W])
+            bits = [(mask >> c) & 1 for c in range(W)]
 
             if not variant.startswith("nopush"):
-                for c in range(8):
+                for c in range(W):
+                    at = jnp.minimum(sp, 120)
+
                     @pl.when(bits[c] == 1)
-                    def _(child=children[c], at=sp):
+                    def _(child=children[c], at=at):
                         stack_ref[at] = child
 
-                    sp = sp + bits[c]
+                    sp = jnp.minimum(sp + bits[c], 120)
 
             return sp, best_t, best_prim, best_u, best_v, done, iters
 
@@ -321,7 +333,7 @@ def main():
     d_div = jnp.stack([pack(dd[..., k]) for k in range(3)], axis=1)
     ones = jnp.ones((n, n), jnp.float32)
     tlim = jnp.stack([pack(ones * 1e-3), pack(ones * 1e4)], axis=1)
-    stack_size = max(7 * int(bvh.wide_depth) + 16, 24)
+    stack_size = max((W - 1) * int(bvh.wide_depth) + 2 * W, 128)
 
     leaf_table = bvh.leaf_packed
     print(f"leaf row width {leaf_table.shape[1]} "
@@ -334,9 +346,16 @@ def main():
 
     for variant in args.variants.split(","):
         for name, dv in (("primary", d_prim), ("divergent", d_div)):
-            f = lambda: run_variant(
-                bvh.wnode_packed, leaf_table, o, dv, tlim,
-                ls, variant, stack_size)
+            if variant == "mega":
+                f = functools.partial(
+                    jax.jit(run_mega, static_argnames=("leaf_size",
+                                                       "stack_size")),
+                    bvh.wnode_packed, leaf_table, o, dv, tlim,
+                    leaf_size=ls, stack_size=stack_size)
+            else:
+                f = lambda: run_variant(
+                    bvh.wnode_packed, leaf_table, o, dv, tlim,
+                    ls, variant, stack_size)
             out = f()
             jax.block_until_ready(out)
             t0 = time.perf_counter()
@@ -347,6 +366,177 @@ def main():
             iters = int(jnp.sum(out[4][:, 0, 0]))
             print(f"{variant:10s} {name:10s} {ms:8.2f} ms  "
                   f"iters={iters:8d}  {ms * 1e6 / max(iters, 1):7.1f} ns/iter")
+
+
+
+
+def run_mega(node, leaf, o, d, tlim, leaf_size, stack_size):
+    """MEGA variant: grid=(1,) — every ray block processed by an outer
+    fori_loop inside ONE grid step (dynamic-index block loads/stores from
+    whole-array VMEM refs). Tests whether the ~1 us/iter cost is tied to the
+    grid machinery (the identical body ungridded ran at 23 ns/iter)."""
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
+
+    B = o.shape[0]
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, stats_out, stack_ref):
+        def block_body(blk, acc):
+            ox = o_ref[blk, 0]
+            oy = o_ref[blk, 1]
+            oz = o_ref[blk, 2]
+            dx = d_ref[blk, 0]
+            dy = d_ref[blk, 1]
+            dz = d_ref[blk, 2]
+            t_min = tlim_ref[blk, 0]
+            t_max = tlim_ref[blk, 1]
+
+            def safe(a):
+                return jnp.where(
+                    jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a
+                )
+
+            ix = 1.0 / safe(dx)
+            iy = 1.0 / safe(dy)
+            iz = 1.0 / safe(dz)
+            degenerate = (
+                (dx * dx + dy * dy + dz * dz) < 1e-12
+            ).astype(jnp.int32)
+
+            def leaf_tests(leaf, args):
+                best_t, best_prim, best_u, best_v, done = args
+                lrow = leaf_ref[jnp.maximum(leaf, 0)]
+                lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
+                for s in range(leaf_size):
+                    base = s * 9
+                    v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
+                    e1x, e1y, e1z = lrow[base + 3], lrow[base + 4], lrow[base + 5]
+                    e2x, e2y, e2z = lrow[base + 6], lrow[base + 7], lrow[base + 8]
+                    tri_id = lrow_i[9 * leaf_size + s]
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                    u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv_det
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = ((tri_id >= 0) & (jnp.abs(det) > 1e-12)
+                          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                          & (t > t_min) & (t < best_t) & (done == 0))
+                    best_t = jnp.where(ok, t, best_t)
+                    best_prim = jnp.where(ok, tri_id, best_prim)
+                    best_u = jnp.where(ok, u, best_u)
+                    best_v = jnp.where(ok, v, best_v)
+                return best_t, best_prim, best_u, best_v, done
+
+            stack_ref[0] = jnp.int32(0)
+            zero_i = jnp.int32(0)
+
+            def cond(state):
+                return state[0] > 0
+
+            def body(state):
+                sp, best_t, best_prim, best_u, best_v, done, iters = state
+                ref = stack_ref[jnp.maximum(sp - 1, 0)]
+                sp = jnp.maximum(sp - 1, 0)
+                is_leaf = ref < 0
+                iters = iters + 1
+
+                def do_leaf(args):
+                    return leaf_tests(-2 - ref, args) + (zero_i,) * (W + 1)
+
+                def do_internal(args):
+                    best_t, best_prim, best_u, best_v, done = args
+                    row = node_ref[jnp.maximum(ref, 0)]
+                    row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                    not_done = done == 0
+                    children = []
+                    packed = jnp.zeros((8, 128), jnp.int32)
+                    for c in range(W):
+                        tx0 = (row[c] - ox) * ix
+                        ty0 = (row[W + c] - oy) * iy
+                        tz0 = (row[2 * W + c] - oz) * iz
+                        tx1 = (row[3 * W + c] - ox) * ix
+                        ty1 = (row[4 * W + c] - oy) * iy
+                        tz1 = (row[5 * W + c] - oz) * iz
+                        tnear = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1),
+                                        jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1))
+                        tfar = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+                        hit = ((tfar >= jnp.maximum(tnear, t_min))
+                               & (tnear <= best_t) & not_done)
+                        packed = packed | (hit.astype(jnp.int32) << c)
+                        children.append(row_i[6 * W + c])
+                    for s in (1, 2, 4):
+                        packed = packed | pltpu.roll(packed, s, axis=0)
+                    for s in (1, 2, 4, 8, 16, 32, 64):
+                        packed = packed | pltpu.roll(packed, s, axis=1)
+                    mask = packed[0, 0]
+                    empty_bits = jnp.int32(0)
+                    for c in range(W):
+                        empty_bits = empty_bits | (
+                            (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
+                        )
+                    return (best_t, best_prim, best_u, best_v, done,
+                            mask & ~empty_bits, *children)
+
+                res = jax.lax.cond(
+                    is_leaf, do_leaf, do_internal,
+                    (best_t, best_prim, best_u, best_v, done))
+                best_t, best_prim, best_u, best_v, done, mask = res[:6]
+                children = list(res[6:6 + W])
+                for c in range(W):
+                    bit = (mask >> c) & 1
+                    at = jnp.minimum(sp, stack_size - 1)
+
+                    @pl.when(bit == 1)
+                    def _(child=children[c], at=at):
+                        stack_ref[at] = child
+
+                    sp = jnp.minimum(sp + bit, stack_size - 1)
+                return sp, best_t, best_prim, best_u, best_v, done, iters
+
+            init = (jnp.int32(1),
+                    jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+                    jnp.full((8, 128), -1, jnp.int32),
+                    jnp.zeros((8, 128), jnp.float32),
+                    jnp.zeros((8, 128), jnp.float32),
+                    degenerate, jnp.int32(0))
+            sp, best_t, best_prim, best_u, best_v, done, iters = (
+                jax.lax.while_loop(cond, body, init))
+            t_out[blk] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+            prim_out[blk] = best_prim
+            u_out[blk] = best_u
+            v_out[blk] = best_v
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            stats_out[blk] = jnp.where(rid == 0, iters, 0)
+            return acc + iters
+
+        jax.lax.fori_loop(0, B, block_body, jnp.int32(0))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
+    ]
+    return pl.pallas_call(
+        make_mega := kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        scratch_shapes=[pltpu.SMEM((stack_size,), jnp.int32)],
+    )(node, leaf, o, d, tlim)
 
 
 if __name__ == "__main__":

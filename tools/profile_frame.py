@@ -1,0 +1,55 @@
+"""Profile one full PT-graph frame on the TPU; print per-op device times.
+
+Targets the remaining frame time data-driven: which of the ~11 traversal
+kernels + ReSTIR/scatter fusions actually dominate.
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from rust_renderer_tpu.app.main import Application
+from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    cfg = StaticConfig(
+        width=n, height=n, samples_per_frame=1, num_bounces=5,
+        sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
+        irradiance_size=32, brdf_lut_size=128,
+    )
+    app = Application(n, n, RenderGraphMode.PATH_TRACED, cfg)
+    app.create_scene()
+    app.run(num_frames=2)  # compile + steady
+
+    trace_dir = "/tmp/frame_trace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        app.run(num_frames=2, present_every=0)
+        jax.block_until_ready(app.graph.state["accumulation_image"])
+
+    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    with gzip.open(paths[0], "rt") as fh:
+        trace = json.load(fh)
+    durs: dict[str, float] = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev and not ev.get(
+            "name", ""
+        ).startswith("$"):
+            name = ev["name"]
+            durs[name] = durs.get(name, 0.0) + ev["dur"]
+    total = sum(v for k, v in durs.items()
+                if not ("block_until" in k or "trace" in k))
+    print(f"-- top ops over 2 frames (us) --")
+    for name, us in sorted(durs.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{us/1000:9.2f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
