@@ -912,7 +912,8 @@ def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
 
 
 def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
-                    wide: bool = True, ordered: bool = False):
+                    wide: bool = True, ordered: bool = False,
+                    multi: int = 1):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -922,7 +923,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
         from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
         return functools.partial(traverse_packet_pallas, wide=wide,
-                                 ordered=ordered, dma_leaf=(mode == "dma"))
+                                 ordered=ordered, dma_leaf=(mode == "dma"),
+                                 multi=multi)
     return traverse_packet if packet else traverse
 
 
@@ -955,7 +957,10 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
 
 def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  wide: bool = True, ordered: bool = False):
-    trav = _pick_traversal(bvh, packet, sort, wide, ordered)
+    # multi=4: any-hit walks exit early, so the ~45 us/grid-step fixed cost
+    # dominates and multi-block amortization wins (measured 9.6 -> 6.6 ms
+    # primary, 11.7 -> 10.0 divergent at 512² — closest-hit prefers 1).
+    trav = _pick_traversal(bvh, packet, sort, wide, ordered, multi=4)
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)

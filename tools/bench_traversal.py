@@ -68,6 +68,9 @@ def main():
         "wide_multi2": dict(wide=True, multi=2),
         "wide_multi4": dict(wide=True, multi=4),
         "wide_multi8": dict(wide=True, multi=8),
+        "anyhit": dict(wide=True, multi=1, any_hit=True),
+        "anyhit_multi4": dict(wide=True, multi=4, any_hit=True),
+        "anyhit_multi8": dict(wide=True, multi=8, any_hit=True),
     }
     if args.variants:
         variants = {k: variants[k] for k in args.variants.split(",")}
