@@ -19,20 +19,24 @@ from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    mode = sys.argv[2] if len(sys.argv) > 2 else "pt"
     cfg = StaticConfig(
         width=n, height=n, samples_per_frame=1, num_bounces=5,
         sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
         irradiance_size=32, brdf_lut_size=128,
     )
-    app = Application(n, n, RenderGraphMode.PATH_TRACED, cfg)
+    gmode = (RenderGraphMode.RASTERIZED if mode == "raster"
+             else RenderGraphMode.PATH_TRACED)
+    app = Application(n, n, gmode, cfg)
     app.create_scene()
     app.run(num_frames=2)  # compile + steady
 
     trace_dir = "/tmp/frame_trace"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
-        app.run(num_frames=2, present_every=0)
-        jax.block_until_ready(app.graph.state["accumulation_image"])
+        img = app.run(num_frames=2, present_every=0)
+        for v in app.graph.state.values():
+            jax.block_until_ready(v)
 
     paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     with gzip.open(paths[0], "rt") as fh:
