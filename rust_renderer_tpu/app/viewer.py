@@ -86,8 +86,25 @@ class StdinKeySource:
             ch = sys.stdin.read(1)
             if not ch:
                 break
-            if ch == "\x1b":  # ESC
-                self.quit_requested = True
+            if ch == "\x1b":  # ESC — lone ESC quits; CSI/SS3 sequences
+                # (arrow/function keys) are swallowed so their tail bytes
+                # don't leak in as spurious key presses.
+                ready, _, _ = select.select([sys.stdin], [], [], 0.01)
+                if not ready:
+                    self.quit_requested = True
+                    continue
+                nxt = sys.stdin.read(1)
+                if nxt in ("[", "O"):
+                    # Consume the sequence body: parameter bytes 0x30-0x3F,
+                    # intermediates 0x20-0x2F, one final byte 0x40-0x7E.
+                    while True:
+                        ready, _, _ = select.select([sys.stdin], [], [], 0.01)
+                        if not ready:
+                            break
+                        b = sys.stdin.read(1)
+                        if not b or not ("\x20" <= b <= "\x3f"):
+                            break
+                # Alt+<key> (ESC then a plain byte) is ignored entirely.
                 continue
             if ch == "\x03":  # Ctrl-C in cbreak mode
                 self.quit_requested = True

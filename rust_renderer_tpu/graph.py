@@ -145,6 +145,7 @@ class Graph:
         self.state: dict[str, jax.Array] = {}
         self._compiled: dict[Any, Callable] = {}
         self._last_good: Callable | None = None
+        self._last_good_gen: int | None = None
         self._generation = 0
         self.current_frame = 0
         self.sanitize = bool(sanitize)
@@ -306,12 +307,24 @@ class Graph:
         try:
             resources, new_state, checks = fn(self.state, scene, view, uniforms)
             self._last_good = fn
+            self._last_good_gen = self._generation
         except Exception:
-            if self._last_good is None:
+            # Keep-old-executable is ONLY for hot-reload-induced failures
+            # (pipeline.rs:109-121 recompiles a shader and keeps the old
+            # pipeline on error). A failure with no reload since the last
+            # good frame is a genuine runtime fault (OOM, device fault) and
+            # must surface, not silently re-render stale output.
+            reloaded = (
+                self._last_good is not None
+                and self._last_good_gen is not None
+                and self._generation != self._last_good_gen
+            )
+            if not reloaded:
                 raise
-            # Hot-reload produced a broken kernel: keep the old executable
-            # (pipeline.rs:109-121).
-            log.exception("frame compile/execute failed; reusing previous pipeline")
+            log.exception(
+                "hot-reloaded frame failed to compile/execute; "
+                "keeping previous pipeline"
+            )
             self._compiled[key] = self._last_good
             resources, new_state, checks = self._last_good(
                 self.state, scene, view, uniforms

@@ -96,7 +96,7 @@ WIDE_EMPTY = np.int32(-0x7FFFFFFF)  # empty child-slot sentinel
 
 
 def _collapse_wide(node_min, node_max, miss, node_leaf,
-                   leaf_ref_map=None, width: int = WIDE_WIDTH):
+                   width: int = WIDE_WIDTH):
     """Collapse the binary skip-pointer tree into a wide (BVH8) tree.
 
     Standard SAH-guided collapse: each wide node starts as one binary node
@@ -105,11 +105,10 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
     children are recovered from the DFS pre-order layout (left = i+1,
     right = miss[i+1] — a left child's skip pointer is its sibling).
 
-    Returns (wnode_packed (W, 8*width) f32, wide_depth int). Child refs are
-    packed bitcast into the last `width` columns: >= 0 wide node index,
-    <= -2 encodes a leaf as -(ref+2) — the leaf's OFFSET into the packed
-    per-triangle table when `leaf_ref_map` (leaf row -> tri offset) is
-    given, else the leaf row index — WIDE_EMPTY an empty slot.
+    Returns (wnode_packed (W, 7*width) f32, wide_depth int). Column layout:
+    cols [width*k + c] for k < 6 are child c's (min.xyz, max.xyz) planes;
+    col 6*width + c is child c's ref (bitcast i32): >= 0 wide node index,
+    <= -2 encodes leaf row -(ref+2), WIDE_EMPTY an empty slot.
     """
     node_min = np.asarray(node_min, np.float32)
     node_max = np.asarray(node_max, np.float32)
@@ -147,10 +146,7 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
         boxes[:, 3:] = -1.0
         for slot, e in enumerate(elems):
             if node_leaf[e] >= 0:
-                lv = node_leaf[e]
-                if leaf_ref_map is not None:
-                    lv = leaf_ref_map[lv]
-                refs[slot] = np.int32(-2 - lv)
+                refs[slot] = np.int32(-2 - node_leaf[e])
             else:
                 pending.append(e)
                 depth_of.append(depth_of[w] + 1)
@@ -209,12 +205,12 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         ],
         axis=1,
     )
-    # Pad rows to the 128-lane VMEM tile width: rows cost 512 B regardless
-    # of logical width, so a 12-slot leaf (120 cols) uses the tile fully.
-    if leaf_packed.shape[1] < 128:
-        leaf_packed = np.pad(
-            leaf_packed, ((0, 0), (0, 128 - leaf_packed.shape[1]))
-        )
+    # NOTE: rows stay at their logical width here; the Pallas path pads to
+    # the 128-lane VMEM tile width at launch (traverse_packet_pallas — XLA
+    # constant-folds the pad). The XLA packet path row-gathers this table
+    # directly, so padding it here would triple its HBM footprint for
+    # nothing (rows cost 512 B in VMEM at any width <= 128, but HBM is
+    # per-byte).
     # Exact max depth via a preorder walk: internal node i has left child i+1
     # and right child miss[i+1] (the left child's skip pointer is its sibling
     # — the DFS layout invariant). O(N) host pass at build time.

@@ -87,43 +87,100 @@ def direction_to_face_uv(d: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]
     return face, u * 0.5 + 0.5, v * 0.5 + 0.5
 
 
-def sample_cubemap(cube: jax.Array, d: jax.Array) -> jax.Array:
-    """Bilinear sample (within the chosen face) of a (6,S,S,C) cubemap."""
-    face, u, v = direction_to_face_uv(d)
-    size = cube.shape[1]
-    fx = u * size - 0.5
-    fy = v * size - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    wx = (fx - x0)[..., None]
-    wy = (fy - y0)[..., None]
+def pack_cubemap(cube: jax.Array) -> jax.Array:
+    """(6, S, S, C) -> (6*S*S, 4C) bilinear-quad rows.
 
-    def fetch(xi, yi):
-        x = jnp.clip(xi, 0, size - 1).astype(jnp.int32)
-        y = jnp.clip(yi, 0, size - 1).astype(jnp.int32)
-        return cube[face, y, x]
+    Row (face, y, x) holds texels (y, x), (y, x+1), (y+1, x), (y+1, x+1)
+    with clamp-to-edge neighbors baked in, so a bilinear tap is ONE packed
+    row gather instead of four per-lane 3D gathers (which lower to table
+    scans on TPU — measured 167 ms/frame of cubemap sampling at 512²; the
+    leaf_packed lesson, PERFORMANCE.md). Built inside the jit from the
+    cubemap resource; XLA CSEs the pack across a frame's sample sites.
+    """
+    right = jnp.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
+    down = jnp.concatenate([cube[:, 1:], cube[:, -1:]], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    quad = jnp.concatenate([cube, right, down, downright], axis=-1)
+    return quad.reshape(-1, 4 * cube.shape[-1])
 
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
+
+def _bilerp_rows(rows: jax.Array, c: int, wx: jax.Array, wy: jax.Array,
+                 shape) -> jax.Array:
+    c00 = rows[:, 0:c]
+    c10 = rows[:, c:2 * c]
+    c01 = rows[:, 2 * c:3 * c]
+    c11 = rows[:, 3 * c:4 * c]
+    wx = wx.reshape(-1, 1)
+    wy = wy.reshape(-1, 1)
     top = c00 * (1 - wx) + c10 * wx
     bot = c01 * (1 - wx) + c11 * wx
-    return top * (1 - wy) + bot * wy
+    return (top * (1 - wy) + bot * wy).reshape(shape + (c,))
+
+
+def _face_uv_to_rowparams(face, u, v, size: int):
+    """(face, u, v) -> (row index, wx, wy) for a packed quad table.
+
+    Clamping the texel-space sample point to [0, S-1] before floor/frac is
+    exactly clamp-to-edge bilinear (identical to clamping each corner)."""
+    fx = jnp.clip(u * size - 0.5, 0.0, size - 1.0)
+    fy = jnp.clip(v * size - 0.5, 0.0, size - 1.0)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    row = face * (size * size) + y0.astype(jnp.int32) * size + x0.astype(jnp.int32)
+    return row, fx - x0, fy - y0
+
+
+def sample_cubemap(cube: jax.Array, d: jax.Array) -> jax.Array:
+    """Bilinear sample (within the chosen face) of a (6,S,S,C) cubemap.
+    One packed-row gather per tap (see pack_cubemap)."""
+    from rust_renderer_tpu.ops.gather import row_gather
+
+    face, u, v = direction_to_face_uv(d)
+    size = cube.shape[1]
+    c = cube.shape[-1]
+    row, wx, wy = _face_uv_to_rowparams(face, u, v, size)
+    rows = row_gather(pack_cubemap(cube), row.reshape(-1))
+    return _bilerp_rows(rows, c, wx, wy, d.shape[:-1])
 
 
 def sample_cubemap_lod(chain: list[jax.Array], d: jax.Array, lod: jax.Array) -> jax.Array:
-    """Trilinear-across-levels sample of a mip chain (textureLod analog)."""
+    """Trilinear-across-levels sample of a mip chain (textureLod analog).
+
+    All levels' quad tables are concatenated into ONE packed table with
+    static row offsets; the per-pixel (level, texel) resolves to a single
+    row index by a static unroll of cheap integer selects, so the whole
+    trilinear fetch is TWO row gathers (lo + hi level) instead of
+    4 gathers x n_levels."""
+    from rust_renderer_tpu.ops.gather import row_gather
+
     n_levels = len(chain)
+    c = chain[0].shape[-1]
     lod = jnp.clip(lod, 0.0, n_levels - 1)
     lo = jnp.floor(lod).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_levels - 1)
     frac = (lod - lo.astype(jnp.float32))[..., None]
-    # Static unroll over levels; per-pixel select (levels have distinct
-    # shapes, so gather per level then blend by mask).
-    out_lo = jnp.zeros(d.shape[:-1] + (chain[0].shape[-1],), chain[0].dtype)
-    out_hi = jnp.zeros_like(out_lo)
-    for lvl in range(n_levels):
-        s = sample_cubemap(chain[lvl], d)
-        out_lo = jnp.where((lo == lvl)[..., None], s, out_lo)
-        out_hi = jnp.where((jnp.minimum(lo + 1, n_levels - 1) == lvl)[..., None], s, out_hi)
+
+    face, u, v = direction_to_face_uv(d)
+    table = jnp.concatenate([pack_cubemap(cm) for cm in chain], axis=0)
+
+    def level_params(level_sel):
+        row = jnp.zeros(face.shape, jnp.int32)
+        wx = jnp.zeros(face.shape, jnp.float32)
+        wy = jnp.zeros(face.shape, jnp.float32)
+        offset = 0
+        for lvl, cm in enumerate(chain):
+            size = cm.shape[1]
+            r, x, y = _face_uv_to_rowparams(face, u, v, size)
+            m = level_sel == lvl
+            row = jnp.where(m, offset + r, row)
+            wx = jnp.where(m, x, wx)
+            wy = jnp.where(m, y, wy)
+            offset += 6 * size * size
+        return row, wx, wy
+
+    shape = d.shape[:-1]
+    row_lo, wx_lo, wy_lo = level_params(lo)
+    row_hi, wx_hi, wy_hi = level_params(hi)
+    out_lo = _bilerp_rows(row_gather(table, row_lo.reshape(-1)), c, wx_lo, wy_lo, shape)
+    out_hi = _bilerp_rows(row_gather(table, row_hi.reshape(-1)), c, wx_hi, wy_hi, shape)
     return out_lo * (1 - frac) + out_hi * frac

@@ -3,9 +3,16 @@ itself following Simon Rodriguez's "implementing FXAA" write-up).
 
 Stages: luma edge detection against relative/absolute thresholds, horizontal/
 vertical edge classification, edge endpoint search (iterative walk with the
-quality step table), edge-center offset, and subpixel blending. Vectorized
-over the full image; the per-pixel iterative walk becomes a fixed unrolled
-loop with per-lane done-masks.
+quality step table), edge-center offset, and subpixel blending.
+
+TPU formulation: the edge walk's sample offsets are STATIC magnitudes (the
+QUALITY table) along a per-pixel axis, and every bilinear tap sits at a
+half-texel offset perpendicular to the edge — so every probe is expressible
+as shifted-image reads (pad + slice at static offsets) combined by per-pixel
+selects, and the whole filter is gather-free (per-pixel dynamic-coordinate
+bilinear taps lower to table scans on TPU; measured 162 ms/frame at 512² —
+see PERFORMANCE.md). The walk becomes a first-hit scan over precomputed
+probe values; results are exact vs the dynamic-gather formulation.
 
 The settings UBO of the present pass (enabled, debug, threshold 0.45,
 renderers/present.rs:13-31) maps to the function arguments.
@@ -23,6 +30,13 @@ ITERATIONS = 7
 QUALITY = (1.0, 1.0, 1.0, 1.5, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 4.0, 8.0)
 SUBPIXEL_QUALITY = 0.75
 
+# Cumulative walk distances: probe k sits DISTS[k] pixels along the edge
+# (initial step 1.0, then QUALITY[1..ITERATIONS-1]).
+_DISTS = [1.0]
+for _i in range(1, ITERATIONS):
+    _DISTS.append(_DISTS[-1] + QUALITY[min(_i, len(QUALITY) - 1)])
+_MAX_OFF = int(_DISTS[-1]) + 1
+
 
 def _shift(img: jax.Array, dy: int, dx: int) -> jax.Array:
     """Clamped-edge neighbor fetch (textureOffset clamp semantics: border
@@ -30,26 +44,6 @@ def _shift(img: jax.Array, dy: int, dx: int) -> jax.Array:
     h, w = img.shape[:2]
     p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
     return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-
-
-def _sample_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
-    """img: (H, W, C); u, v in pixel units."""
-    h, w = img.shape[:2]
-    x0 = jnp.floor(u - 0.5)
-    y0 = jnp.floor(v - 0.5)
-    fx = (u - 0.5 - x0)[..., None]
-    fy = (v - 0.5 - y0)[..., None]
-
-    def at(xi, yi):
-        x = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
-        y = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-        return img[y, x]
-
-    c00 = at(x0, y0)
-    c10 = at(x0 + 1, y0)
-    c01 = at(x0, y0 + 1)
-    c11 = at(x0 + 1, y0 + 1)
-    return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
 
 
 def fxaa(color: jax.Array, threshold: jax.Array | float = 0.45,
@@ -109,41 +103,52 @@ def fxaa(color: jax.Array, threshold: jax.Array | float = 0.45,
     l_local_avg = jnp.where(
         is_1_steepest, 0.5 * (l1 + l_c), 0.5 * (l2 + l_c)
     )
+    s_pos = jnp.logical_not(is_1_steepest)  # step_len > 0
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
-    cur_u = jnp.where(is_horizontal, xs, xs + step_len * 0.5)
-    cur_v = jnp.where(is_horizontal, ys + step_len * 0.5, ys)
+    # Probe luma at static offsets: every walk sample sits `d` pixels along
+    # the edge axis and half a texel toward the steeper side — i.e.
+    # 0.5 * (L(axis+d) + L(axis+d, perp+step)). Pad once, slice statically.
+    mo = _MAX_OFF
+    pl_ = jnp.pad(luma, ((mo, mo), (mo, mo)), mode="edge")
 
-    off_u = jnp.where(is_horizontal, 1.0, 0.0)
-    off_v = jnp.where(is_horizontal, 0.0, 1.0)
+    def sh(dy: int, dx: int) -> jax.Array:
+        return pl_[mo + dy : mo + dy + h, mo + dx : mo + dx + w]
 
-    # March both directions along the edge.
-    u1, v1 = cur_u - off_u, cur_v - off_v
-    u2, v2 = cur_u + off_u, cur_v + off_v
-    luma_img = luma[..., None]
-    l_end1 = _sample_bilinear(luma_img, u1, v1)[..., 0] - l_local_avg
-    l_end2 = _sample_bilinear(luma_img, u2, v2)[..., 0] - l_local_avg
-    reached1 = jnp.abs(l_end1) >= grad_scaled
-    reached2 = jnp.abs(l_end2) >= grad_scaled
+    _probe_cache: dict[int, jax.Array] = {}
 
-    for i in range(1, ITERATIONS):
-        q = QUALITY[min(i, len(QUALITY) - 1)]
-        u1 = jnp.where(reached1, u1, u1 - off_u * q)
-        v1 = jnp.where(reached1, v1, v1 - off_v * q)
-        u2 = jnp.where(reached2, u2, u2 + off_u * q)
-        v2 = jnp.where(reached2, v2, v2 + off_v * q)
-        l_end1 = jnp.where(
-            reached1, l_end1, _sample_bilinear(luma_img, u1, v1)[..., 0] - l_local_avg
-        )
-        l_end2 = jnp.where(
-            reached2, l_end2, _sample_bilinear(luma_img, u2, v2)[..., 0] - l_local_avg
-        )
-        reached1 = reached1 | (jnp.abs(l_end1) >= grad_scaled)
-        reached2 = reached2 | (jnp.abs(l_end2) >= grad_scaled)
+    def probe_int(d: int) -> jax.Array:
+        if d not in _probe_cache:
+            ph = 0.5 * (sh(0, d) + jnp.where(s_pos, sh(1, d), sh(-1, d)))
+            pv = 0.5 * (sh(d, 0) + jnp.where(s_pos, sh(d, 1), sh(d, -1)))
+            _probe_cache[d] = jnp.where(is_horizontal, ph, pv)
+        return _probe_cache[d]
 
-    dist1 = jnp.where(is_horizontal, xs - u1, ys - v1)
-    dist2 = jnp.where(is_horizontal, u2 - xs, v2 - ys)
+    def probe(dist: float, sign: int) -> jax.Array:
+        if dist == int(dist):
+            return probe_int(sign * int(dist))
+        lo = int(dist - 0.5)
+        return 0.5 * (probe_int(sign * lo) + probe_int(sign * (lo + 1)))
+
+    # First-hit scan replaces the frozen-position walk: the final distance /
+    # end-luma are those of the first probe exceeding grad_scaled (or the
+    # last probe if none does) — exactly the masked-walk semantics.
+    reached1 = jnp.zeros((h, w), bool)
+    reached2 = jnp.zeros((h, w), bool)
+    dist1 = jnp.zeros((h, w), jnp.float32)
+    dist2 = jnp.zeros((h, w), jnp.float32)
+    l_end1 = jnp.zeros((h, w), jnp.float32)
+    l_end2 = jnp.zeros((h, w), jnp.float32)
+    for k, dk in enumerate(_DISTS):
+        e1 = probe(dk, -1) - l_local_avg
+        e2 = probe(dk, +1) - l_local_avg
+        upd1 = jnp.logical_not(reached1)
+        upd2 = jnp.logical_not(reached2)
+        dist1 = jnp.where(upd1, dk, dist1)
+        dist2 = jnp.where(upd2, dk, dist2)
+        l_end1 = jnp.where(upd1, e1, l_end1)
+        l_end2 = jnp.where(upd2, e2, l_end2)
+        reached1 = reached1 | (jnp.abs(e1) >= grad_scaled)
+        reached2 = reached2 | (jnp.abs(e2) >= grad_scaled)
     is_dir1 = dist1 < dist2
     dist_final = jnp.minimum(dist1, dist2)
     edge_len = dist1 + dist2
@@ -165,9 +170,20 @@ def fxaa(color: jax.Array, threshold: jax.Array | float = 0.45,
     sub_off_final = sub_off2 * sub_off2 * SUBPIXEL_QUALITY
     final_offset = jnp.maximum(final_offset, sub_off_final)
 
-    fu = jnp.where(is_horizontal, xs, xs + final_offset * step_len)
-    fv = jnp.where(is_horizontal, ys + final_offset * step_len, ys)
-    aa = _sample_bilinear(color, fu, fv)
+    # Final resample sits final_offset texels perpendicular to the edge:
+    # (1-f)*C + f*C(perp+step) — two-texel lerp via static shifts.
+    def shc(dy: int, dx: int) -> jax.Array:
+        p = jnp.pad(color, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    s3 = s_pos[..., None]
+    neighbor = jnp.where(
+        is_horizontal[..., None],
+        jnp.where(s3, shc(1, 0), shc(-1, 0)),
+        jnp.where(s3, shc(0, 1), shc(0, -1)),
+    )
+    f3 = final_offset[..., None]
+    aa = (1.0 - f3) * color + f3 * neighbor
 
     use_aa = jnp.logical_and(jnp.logical_not(no_edge), jnp.asarray(enabled) == 1)
     edge_dir_color = jnp.where(

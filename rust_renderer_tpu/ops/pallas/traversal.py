@@ -886,6 +886,14 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     tlim = jnp.stack([pack(t_min_v), pack(t_max_v)], axis=1)
 
     ls = bvh.leaf_tris.shape[1]
+    # The kernels (VMEM layout + DMA row slices) need 128-lane rows; the
+    # stored table keeps its logical width for the XLA gather path. XLA
+    # constant-folds this pad of a closed-over constant at compile time.
+    leaf_packed = bvh.leaf_packed
+    if leaf_packed.shape[1] < 128:
+        leaf_packed = jnp.pad(
+            leaf_packed, ((0, 0), (0, 128 - leaf_packed.shape[1]))
+        )
     if wide:
         # A popped wide node pushes up to width-1 deferred siblings per
         # level of the wide tree (+width slack).
@@ -895,13 +903,13 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
             (WIDE_WIDTH - 1) * int(bvh.wide_depth) + 2 * WIDE_WIDTH, 48
         )
         node_table = bvh.wnode_packed
-        leaf_table = bvh.leaf_packed
+        leaf_table = leaf_packed
     else:
         # Ordered binary traversal pushes at most one frame per tree level
         # (+2 slack for the two pushes a step can make before popping).
         stack_size = max(int(getattr(bvh, "max_depth", 62)) + 2, 16)
         node_table = bvh.node_packed
-        leaf_table = bvh.leaf_packed
+        leaf_table = leaf_packed
     nb = max(int(multi), 1)
     while nb > 1 and o.shape[0] % nb:
         nb //= 2

@@ -14,15 +14,17 @@ vector tests):
    PLANE was tried and is ill-conditioned for thin triangles).
 2. (XLA) Bin triangles to (TILE_H, TILE_W)-pixel tiles by screen bbox with
    the capacity+mask pattern: each triangle emits up to SPAN_X*SPAN_Y
-   (tile, tri) pairs; triangles spanning more tiles go to a small GLOBAL
-   list every tile processes (floors, walls). Pairs are sorted by tile and
-   per-tile segments located with searchsorted. Per-tile counts beyond CAP
-   drop the tail (callers can inspect the returned counts in _bin_pairs).
+   (tile, tri) pairs; triangles spanning more tiles go to a GLOBAL list
+   every tile processes (floors, walls), appended group-aligned to the same
+   HBM table. Pairs are sorted by tile and per-tile segments located with
+   searchsorted. No capacity cliffs: segments and the global list are both
+   unbounded — the kernel streams them through VMEM in CAP-row chunks.
 3. (Pallas) One grid step per tile: DMA the tile's segment of packed
-   triangle rows from HBM into VMEM scratch, then a fori_loop of scalar
-   row fetches — each iteration tests one triangle against the whole tile
-   with ~15 vector ops. No gathers, no per-step dispatch, no cross-vector
-   reductions in the loop (the walk is latency-free, unlike BVH traversal).
+   triangle rows from HBM into VMEM scratch (CAP rows per chunk, looping
+   for longer segments), then a fori_loop of scalar row fetches — each
+   iteration tests one triangle against the whole tile with ~15 vector
+   ops. No gathers, no per-step dispatch, no cross-vector reductions in
+   the loop (the walk is latency-free, unlike BVH traversal).
 
 Two kernels: depth-only (shadow cascades) and the full visibility buffer
 (gbuffer: depth + original-tri id + perspective-correct barycentrics).
@@ -45,8 +47,8 @@ TILE_H = 32
 TILE_W = 256
 SPAN_X = 2  # tiles a triangle may span horizontally before going global
 SPAN_Y = 4
-CAP = 1024  # per-tile triangle capacity (overflow reported)
-GLOBAL_CAP = 64
+CAP = 1024  # triangle rows per VMEM chunk (NOT a capacity: longer per-tile
+            # segments and global lists stream through in CAP-row chunks)
 
 
 def _tri_rows(clip, indices, width, height, vis: bool = False):
@@ -156,12 +158,16 @@ def _pack_rows(rows, stride):
 
 def _bin_pairs(rows, tx0, ty0, span_w, span_h, valid, is_global, nx, ny,
                stride):
-    """Emit capped (tile, tri) pairs, sort by tile, build segments + the
-    global list. Returns (rows_packed, starts, counts, g_packed, g_groups,
-    overflow_global); rows are packed 128//stride per row (see _pack_rows)
-    and starts/counts stay in TRIANGLE units."""
+    """Emit (tile, tri) pairs, sort by tile, build segments + the global
+    list. Returns (rows_packed, starts, counts, g_base, g_count): rows are
+    packed 128//stride per row (see _pack_rows); starts/counts/g_count stay
+    in TRIANGLE units; g_base is the GROUP index where the global section
+    starts inside rows_packed. Nothing is dropped: the global section has
+    static capacity for every triangle, and the kernel streams arbitrarily
+    long segments in CAP-row chunks."""
     t2 = rows.shape[0]
     n_tiles = nx * ny
+    pk = 128 // stride
     binned = valid & ~is_global
 
     tiles = []
@@ -185,39 +191,71 @@ def _bin_pairs(rows, tx0, ty0, span_w, span_h, valid, is_global, nx, ny,
     counts = ends - starts
 
     rows_sorted = rows[tri_sorted]  # one bulk row gather
-    # Dead-pad so a fixed-size CAP DMA never reads past the end, then pack.
-    dead = jnp.tile(
-        jnp.asarray(
-            [0.0, 0.0, -1.0] * 3 + [0.0] * (rows.shape[1] - 9), jnp.float32
-        ),
-        (CAP, 1),
-    )
-    rows_packed = _pack_rows(
-        jnp.concatenate([rows_sorted, dead], axis=0), stride
-    )
-
-    # Global (large-span) triangles: compact the first GLOBAL_CAP.
-    g_key = jnp.where(is_global, tri_ids, t2 + 1)
-    g_order = jnp.argsort(g_key)[:GLOBAL_CAP]
-    g_total = jnp.sum(is_global.astype(jnp.int32))
-    g_count = jnp.minimum(g_total, GLOBAL_CAP)
-    g_rows = rows[g_order]
-    g_live = jnp.arange(GLOBAL_CAP) < g_count
     dead_row = jnp.asarray(
         [0.0, 0.0, -1.0] * 3 + [0.0] * (rows.shape[1] - 9), jnp.float32
     )
+
+    # Global (large-span) triangles, compacted to the front — capacity is
+    # ALL of them (rounded up to a group) so none are ever dropped.
+    g_key = jnp.where(is_global, tri_ids, t2 + 1)
+    g_order = jnp.argsort(g_key)
+    g_count = jnp.sum(is_global.astype(jnp.int32))
+    g_rows = rows[g_order]
+    g_live = jnp.arange(t2) < g_count
     g_rows = jnp.where(g_live[:, None], g_rows, dead_row)
-    pk = 128 // stride
-    g_packed = _pack_rows(g_rows, stride)
-    g_groups = (g_count + pk - 1) // pk
-    return rows_packed, starts, counts, g_packed, g_groups, g_total - g_count
+
+    # Layout: [segments | pad-to-group | globals | pad-to-group | CAP dead]
+    # (the trailing dead chunk lets the last fixed-size chunk DMA over-read;
+    # over-read rows are dead or real triangles — both harmless, edge
+    # functions are global).
+    n_seg = rows_sorted.shape[0]
+    seg_pad = (-n_seg) % pk
+    g_cap = g_rows.shape[0]
+    g_pad = (-g_cap) % pk
+    table = jnp.concatenate(
+        [
+            rows_sorted,
+            jnp.tile(dead_row[None], (seg_pad, 1)),
+            g_rows,
+            jnp.tile(dead_row[None], (g_pad, 1)),
+            jnp.tile(dead_row[None], (CAP, 1)),
+        ],
+        axis=0,
+    )
+    rows_packed = _pack_rows(table, stride)
+    g_base = (n_seg + seg_pad) // pk
+    return rows_packed, starts, counts, jnp.int32(g_base), g_count
 
 
 DEPTH_STRIDE = 16  # f32 per triangle row; 8 rows packed per 128-wide row
 VIS_STRIDE = 32    # 24 used + pad; 4 rows packed per 128-wide row
 
 
-def _depth_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
+def _stream_groups(rows_hbm, scratch, sem, base_group, n_groups, pk,
+                   group_body, state):
+    """Stream `n_groups` packed row groups starting at `base_group` through
+    the VMEM scratch in fixed CAP-row chunks, folding `group_body` over each
+    group. The table carries a CAP-row dead pad so the fixed-size chunk DMA
+    may over-read (over-read rows are dead or belong to a neighboring
+    segment — harmless either way: dead rows are never inside and edge
+    functions are global)."""
+    chunk_groups = CAP // pk
+
+    def chunk(c, state):
+        dma = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(base_group + c * chunk_groups, chunk_groups)],
+            scratch, sem,
+        )
+        dma.start()
+        dma.wait()
+        live = jnp.minimum(chunk_groups, n_groups - c * chunk_groups)
+        return jax.lax.fori_loop(0, live, group_body, state)
+
+    n_chunks = (n_groups + chunk_groups - 1) // chunk_groups
+    return jax.lax.fori_loop(0, n_chunks, chunk, state)
+
+
+def _depth_kernel(rows_hbm, starts_ref, counts_ref, gmeta_ref,
                   depth_out, scratch, sem):
     pk = 128 // DEPTH_STRIDE
     i = pl.program_id(0)
@@ -228,13 +266,7 @@ def _depth_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
     count = counts_ref[tile]
     base = start // pk
     lead = start - base * pk
-    clamped = jnp.minimum(count, CAP - lead)
-    groups = (lead + clamped + pk - 1) // pk
-
-    dma = pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(base, CAP // pk)], scratch, sem
-    )
-    dma.start()
+    groups = (lead + count + pk - 1) // pk
 
     ys = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
           .astype(jnp.float32) + i.astype(jnp.float32) * TILE_H + 0.5)
@@ -251,29 +283,25 @@ def _depth_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
              + e0 * row[base + 11]) * ia
         return jnp.minimum(depth, jnp.where(inside, z, 3.0e38))
 
-    def group_body(ref):
-        def body(g, depth):
-            row = ref[g]
-            for sl in range(pk):
-                depth = test(row, sl * DEPTH_STRIDE, depth)
-            return depth
+    def body(g, depth):
+        row = scratch[g]
+        for sl in range(pk):
+            depth = test(row, sl * DEPTH_STRIDE, depth)
+        return depth
 
-        return body
-
-    # Global triangles overlap while the segment DMA is in flight. (A packed
-    # group may test a few dead or neighboring-segment rows — harmless: dead
-    # rows are never inside and edge functions are global.)
-    depth = jax.lax.fori_loop(
-        0, ggroups_ref[0], group_body(g_rows_ref),
-        jnp.full((TILE_H, TILE_W), 1.0, jnp.float32),
-    )
-
-    dma.wait()
-    depth = jax.lax.fori_loop(0, groups, group_body(scratch), depth)
+    depth = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+    # Global (large-span) triangles: every tile streams the global section.
+    g_base = gmeta_ref[0]
+    g_groups = (gmeta_ref[1] + pk - 1) // pk
+    depth = _stream_groups(rows_hbm, scratch, sem, g_base, g_groups, pk,
+                           body, depth)
+    # This tile's own segment (unbounded length, chunked).
+    depth = _stream_groups(rows_hbm, scratch, sem, base, groups, pk,
+                           body, depth)
     depth_out[...] = jnp.minimum(depth, 1.0)
 
 
-def _vis_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
+def _vis_kernel(rows_hbm, starts_ref, counts_ref, gmeta_ref,
                 out_ref, scratch, sem):
     """Full visibility-buffer tile kernel: depth + orig tri id (as f32) +
     perspective-correct original-triangle barycentrics, fused into ONE
@@ -287,13 +315,7 @@ def _vis_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
     count = counts_ref[tile]
     base = start // pk
     lead = start - base * pk
-    clamped = jnp.minimum(count, CAP - lead)
-    groups = (lead + clamped + pk - 1) // pk
-
-    dma = pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(base, CAP // pk)], scratch, sem
-    )
-    dma.start()
+    groups = (lead + count + pk - 1) // pk
 
     ys = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
           .astype(jnp.float32) + i.astype(jnp.float32) * TILE_H + 0.5)
@@ -329,14 +351,11 @@ def _vis_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
             jnp.where(take, v, pv),
         )
 
-    def group_body(ref):
-        def body(g, state):
-            row = ref[g]
-            for sl in range(pk):
-                state = test(row, sl * VIS_STRIDE, state)
-            return state
-
-        return body
+    def body(g, state):
+        row = scratch[g]
+        for sl in range(pk):
+            state = test(row, sl * VIS_STRIDE, state)
+        return state
 
     init = (
         jnp.full((TILE_H, TILE_W), 1.0, jnp.float32),
@@ -344,9 +363,12 @@ def _vis_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
     )
-    state = jax.lax.fori_loop(0, ggroups_ref[0], group_body(g_rows_ref), init)
-    dma.wait()
-    state = jax.lax.fori_loop(0, groups, group_body(scratch), state)
+    g_base = gmeta_ref[0]
+    g_groups = (gmeta_ref[1] + pk - 1) // pk
+    state = _stream_groups(rows_hbm, scratch, sem, g_base, g_groups, pk,
+                           body, init)
+    state = _stream_groups(rows_hbm, scratch, sem, base, groups, pk,
+                           body, state)
     depth, tri, pu, pv = state
     out_ref[0, 0] = depth
     out_ref[0, 1] = tri
@@ -357,13 +379,12 @@ def _vis_kernel(rows_hbm, g_rows_ref, starts_ref, counts_ref, ggroups_ref,
 @functools.partial(
     jax.jit, static_argnames=("nx", "ny", "interpret")
 )
-def _run_vis(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
+def _run_vis(rows_sorted, starts, counts, g_base, g_count, nx, ny,
              interpret=False):
     grid_spec = pl.GridSpec(
         grid=(ny, nx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -377,6 +398,9 @@ def _run_vis(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    gmeta = jnp.stack(
+        [g_base.astype(jnp.int32), g_count.astype(jnp.int32)]
+    )
     return pl.pallas_call(
         _vis_kernel,
         out_shape=[
@@ -384,8 +408,7 @@ def _run_vis(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rows_sorted, g_rows, starts, counts,
-      g_count.reshape(1).astype(jnp.int32))[0]
+    )(rows_sorted, starts, counts, gmeta)[0]
 
 
 def rasterize_binned(
@@ -414,11 +437,11 @@ def rasterize_binned(
     rows, tx0, ty0, sw, sh, valid, is_global = _tri_rows(
         clip, indices, width, height, vis=True
     )
-    rows_sorted, starts, counts, g_rows, g_count, _g_over = _bin_pairs(
+    rows_sorted, starts, counts, g_base, g_count = _bin_pairs(
         rows, tx0, ty0, sw, sh, valid, is_global, nx, ny, VIS_STRIDE
     )
     out = _run_vis(
-        rows_sorted, starts, counts, g_rows, g_count, nx, ny,
+        rows_sorted, starts, counts, g_base, g_count, nx, ny,
         interpret=interpret,
     )
     depth = out[0, 0, :height, :width]
@@ -446,16 +469,15 @@ def rasterize_binned(
 @functools.partial(
     jax.jit, static_argnames=("nx", "ny", "interpret")
 )
-def _run(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
+def _run(rows_sorted, starts, counts, g_base, g_count, nx, ny,
          interpret=False):
     grid_spec = pl.GridSpec(
         grid=(ny, nx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # sorted rows (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # global rows
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # g_count
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (g_base, g_count)
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
@@ -466,6 +488,9 @@ def _run(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    gmeta = jnp.stack(
+        [g_base.astype(jnp.int32), g_count.astype(jnp.int32)]
+    )
     return pl.pallas_call(
         _depth_kernel,
         out_shape=[
@@ -473,8 +498,7 @@ def _run(rows_sorted, starts, counts, g_rows, g_count, nx, ny,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rows_sorted, g_rows, starts, counts,
-      g_count.reshape(1).astype(jnp.int32))[0]
+    )(rows_sorted, starts, counts, gmeta)[0]
 
 
 def rasterize_depth_binned(
@@ -493,11 +517,11 @@ def rasterize_depth_binned(
     rows, tx0, ty0, sw, sh, valid, is_global = _tri_rows(
         clip, indices, width, height
     )
-    rows_sorted, starts, counts, g_rows, g_count, _g_over = _bin_pairs(
+    rows_sorted, starts, counts, g_base, g_count = _bin_pairs(
         rows, tx0, ty0, sw, sh, valid, is_global, nx, ny, DEPTH_STRIDE
     )
     depth = _run(
-        rows_sorted, starts, counts, g_rows, g_count, nx, ny,
+        rows_sorted, starts, counts, g_base, g_count, nx, ny,
         interpret=interpret,
     )
     return depth[:height, :width]

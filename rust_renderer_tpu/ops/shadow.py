@@ -103,7 +103,16 @@ def calculate_shadow(
     cascade_split_depths: jax.Array,  # (CASCADES,)
 ) -> tuple[jax.Array, jax.Array]:
     """Per-pixel CSM factor (shadow_mapping.glsl:8-54): cascade select by
-    view-space z, 3x3 PCF, out-of-frustum = lit. Returns (shadow, cascade)."""
+    view-space z, 3x3 PCF, out-of-frustum = lit. Returns (shadow, cascade).
+
+    TPU formulation: the per-pixel cascade matrix fetch is a static unroll +
+    select over the <= 4 cascades, and the 9 PCF taps come from FOUR packed
+    quad-row gathers — the shadow map reshaped to non-overlapping 2x2 quads
+    (C*(S/2)^2, 4) — instead of nine per-lane 3D gathers (which lower to
+    table scans; measured 54 ms/frame at 512², PERFORMANCE.md). A 3x3
+    window spans at most 2 quads per axis; the 9 taps select out of the 16
+    fetched texels by parity. Exact same values as the direct formulation.
+    """
     n_cascades = shadow_map.shape[0]
     size = shadow_map.shape[1]
 
@@ -115,26 +124,85 @@ def calculate_shadow(
     for i in range(n_cascades - 1):
         cascade = jnp.where(view_z < -cascade_split_depths[i], i + 1, cascade)
 
-    m = cascade_view_proj[cascade]  # (H, W, 4, 4)
-    lsp = jnp.einsum("...ij,...j->...i", m[..., :3, :3], position) + m[..., :3, 3]
-    lsw = jnp.einsum("...j,...j->...", m[..., 3, :3], position) + m[..., 3, 3]
+    # Per-cascade projection, statically unrolled + selected (a per-pixel
+    # (4,4) matrix gather from a 4-row table lowers to a table scan).
+    lsp = jnp.zeros(position.shape[:-1] + (3,), jnp.float32)
+    lsw = jnp.zeros(position.shape[:-1], jnp.float32)
+    for i in range(n_cascades):
+        mi = cascade_view_proj[i]
+        lsp_i = position @ mi[:3, :3].T + mi[:3, 3]
+        lsw_i = position @ mi[3, :3] + mi[3, 3]
+        sel = cascade == i
+        lsp = jnp.where(sel[..., None], lsp_i, lsp)
+        lsw = jnp.where(sel, lsw_i, lsw)
     proj = lsp / jnp.maximum(jnp.abs(lsw), 1e-9)[..., None] * jnp.sign(lsw)[..., None]
     uv = proj[..., :2] * 0.5 + 0.5
     # FLIP_UV_Y (view.glsl:40-45).
-    uv = jnp.stack([uv[..., 0], 1.0 - uv[..., 1]], axis=-1)
     depth_ref = proj[..., 2]
 
     in_range = (depth_ref <= 1.0) & (depth_ref > -1.0)
-    texel = 1.0 / size
+
+    # Base texel: floor + per-tap clamp reproduces the per-tap
+    # truncate-then-clamp exactly (they only differ for coordinates the
+    # clamp sends to texel 0 anyway).
+    fx = uv[..., 0] * size
+    fy = (1.0 - uv[..., 1]) * size
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+
+    # Quad-packed shadow map: (C, S, S) -> (C*(S/2)*(S/2), 4) rows of
+    # non-overlapping 2x2 blocks [ (2q, 2p), (2q, 2p+1), (2q+1, 2p),
+    # (2q+1, 2p+1) ].
+    half = size // 2
+    quads = (
+        shadow_map.reshape(n_cascades, half, 2, half, 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(-1, 4)
+    )
+
+    def quad_row(qy, qx):
+        return cascade * (half * half) + qy * half + qx
+
+    qx_lo = jnp.clip(x0 - 1, 0, size - 1) >> 1
+    qx_hi = jnp.clip(x0 + 1, 0, size - 1) >> 1
+    qy_lo = jnp.clip(y0 - 1, 0, size - 1) >> 1
+    qy_hi = jnp.clip(y0 + 1, 0, size - 1) >> 1
+
+    from rust_renderer_tpu.ops.gather import row_gather
+
+    shape = x0.shape
+
+    def fetch(qy, qx):
+        rows = row_gather(quads, quad_row(qy, qx).reshape(-1))
+        return rows.reshape(shape + (4,))
+
+    q_ll = fetch(qy_lo, qx_lo)
+    q_lh = fetch(qy_lo, qx_hi)
+    q_hl = fetch(qy_hi, qx_lo)
+    q_hh = fetch(qy_hi, qx_hi)
+
+    def tap(dy: int, dx: int) -> jax.Array:
+        cx = jnp.clip(x0 + dx, 0, size - 1)
+        cy = jnp.clip(y0 + dy, 0, size - 1)
+        use_lo_x = (cx >> 1) == qx_lo
+        use_lo_y = (cy >> 1) == qy_lo
+        q = jnp.where(
+            use_lo_y[..., None],
+            jnp.where(use_lo_x[..., None], q_ll, q_lh),
+            jnp.where(use_lo_x[..., None], q_hl, q_hh),
+        )
+        i = cy & 1
+        j = cx & 1
+        return jnp.where(
+            i == 0,
+            jnp.where(j == 0, q[..., 0], q[..., 1]),
+            jnp.where(j == 0, q[..., 2], q[..., 3]),
+        )
 
     shadow = jnp.zeros(position.shape[:-1], jnp.float32)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            su = uv[..., 0] + dx * texel
-            sv = uv[..., 1] + dy * texel
-            x = jnp.clip((su * size).astype(jnp.int32), 0, size - 1)
-            y = jnp.clip((sv * size).astype(jnp.int32), 0, size - 1)
-            closest = shadow_map[cascade, y, x]
+            closest = tap(dy, dx)
             lit = jnp.where(
                 depth_ref - SHADOW_BIAS > closest, SHADOW_FACTOR, 1.0
             )
@@ -144,13 +212,15 @@ def calculate_shadow(
 
 
 def cascade_debug_color(cascade: jax.Array) -> jax.Array:
-    """shadow_mapping.glsl:56-68."""
-    colors = jnp.asarray(
-        [
-            [1.0, 0.25, 0.25],
-            [0.25, 1.0, 0.25],
-            [0.25, 0.25, 1.0],
-            [1.0, 1.0, 0.25],
-        ]
+    """shadow_mapping.glsl:56-68 (static unroll — no per-pixel table gather)."""
+    colors = (
+        (1.0, 0.25, 0.25),
+        (0.25, 1.0, 0.25),
+        (0.25, 0.25, 1.0),
+        (1.0, 1.0, 0.25),
     )
-    return colors[jnp.clip(cascade, 0, 3)]
+    c = jnp.clip(cascade, 0, 3)
+    out = jnp.zeros(cascade.shape + (3,), jnp.float32)
+    for i, col in enumerate(colors):
+        out = jnp.where((c == i)[..., None], jnp.asarray(col, jnp.float32), out)
+    return out

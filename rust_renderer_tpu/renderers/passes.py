@@ -212,7 +212,12 @@ def setup_rt_shadows_pass(graph: Graph, scene_bvh, width: int, height: int) -> N
 def setup_rt_reflections_pass(graph: Graph, scene_bvh, cfg,
                               width: int, height: int) -> None:
     """Mirror reflections for metal pixels (rt_reflections.rgen): reflect the
-    eye ray, 1 bounce; hit shades with IBL; miss = atmosphere."""
+    eye ray, 1 bounce; hit shades with IBL; miss = atmosphere.
+
+    Only metal pixels trace (rt_reflections.rgen:10-20 early-outs on
+    raytrace_properties.x != 1): non-metal lanes get a zero direction, which
+    the traversal's degenerate-ray guard retires on entry — fully-non-metal
+    packets exit in one step, so traversal cost tracks metal coverage."""
     graph.create_texture("rt_reflections", width, height, 4, clear=0.0)
 
     def render(res, scene, view, u):
@@ -220,11 +225,15 @@ def setup_rt_reflections_pass(graph: Graph, scene_bvh, cfg,
 
         pos = res["gbuffer_position"][..., :3]
         normal = res["gbuffer_normal"][..., :3]
+        material = res["gbuffer_pbr"][..., 3].astype(jnp.int32)
+        material = jnp.clip(material, 0, scene.mat_rt_type.shape[0] - 1)
+        is_metal = scene.mat_rt_type[material] == 1
         eye_dir = pos - view.eye_pos
         eye_dir = eye_dir / jnp.maximum(
             jnp.linalg.norm(eye_dir, axis=-1, keepdims=True), 1e-9
         )
         rdir = rayops.reflect(eye_dir, normal)
+        rdir = jnp.where(is_metal[..., None], rdir, 0.0)
         origin = rayops.offset_ray(pos, normal)
         hit = bvh_ops.make_closest_hit(scene_bvh)(scene, origin, rdir)
         gb = gbuffer_ops.from_rays(scene, hit, origin, rdir)
@@ -242,15 +251,18 @@ def setup_rt_reflections_pass(graph: Graph, scene_bvh, cfg,
             pixel, view.eye_pos, res["irradiance_map"], spec_chain, res["brdf_lut"]
         )
         sky = atmosphere_ops.sky_radiance(
-            origin, rdir, view.sun_dir / jnp.linalg.norm(view.sun_dir), view.sky_enabled
+            origin,
+            jnp.where(is_metal[..., None], rdir, jnp.asarray([0.0, 1.0, 0.0])),
+            view.sun_dir / jnp.linalg.norm(view.sun_dir), view.sky_enabled,
         )
         color = jnp.where(hit.is_hit[..., None], shaded, sky)
+        color = jnp.where(is_metal[..., None], color, 0.0)
         out = jnp.concatenate([color, jnp.ones_like(color[..., :1])], axis=-1)
         return {"rt_reflections": out}
 
     (
         graph.add_pass("rt_reflections")
-        .read("gbuffer_position").read("gbuffer_normal")
+        .read("gbuffer_position").read("gbuffer_normal").read("gbuffer_pbr")
         .read("irradiance_map").read("brdf_lut")
         .write("rt_reflections")
         .render(render)
