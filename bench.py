@@ -1,19 +1,27 @@
 #!/usr/bin/env python
 """Benchmark: full path-traced frame (BVH + ReSTIR + NEE) at 1080p 1 spp.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+Prints one JSON line per workload: {"metric", "value", "unit",
+"vs_baseline", "detail"} — the headline metric first (the driver's
+BENCH_r{N}.json records line 1), then the Sponza-scale (260k-tri) line
+(VERDICT r2 #5: bench the reference's real scene size,
+/root/reference/prototype/src/scenes.rs:102-150).
 Baseline (BASELINE.md): >= 30 fps at 1080p 1 spp on one v5e chip.
 
 Workload = the flagship PT render graph (renderers/__init__.py:
 build_path_tracing_render_graph): BVH-raycast gbuffer, ReSTIR
 reset/initial-RIS/temporal/spatial chain over the scene lights, and the
 reference path tracer (5 bounces, sun + reservoir-NEE light rays) with the
-captured-cubemap sky. Scene: the default scene (Sponza stand-in atrium,
-~60k triangles, 10 point lights — models/scenes.py create_scene).
+captured-cubemap sky.
+
+Scenes: line 1 = default scene (Sponza stand-in atrium, ~34k triangles,
+10 point lights — models/scenes.py create_scene); line 2 = the 260k-tri
+Sponza-scale proof scene through the DMA-leaf Pallas path.
 
 Rays/frame counted as traces actually executed per bounce:
 closest-hit + sun any-hit + light closest-hit per pixel, all 5 bounces.
-Set RR_BENCH_SMALL=1 for a quick 512x512 sanity run.
+Set RR_BENCH_SMALL=1 for a quick 512x512 sanity run, RR_BENCH_SKIP_SCALE=1
+to skip the Sponza-scale line.
 """
 
 import json
@@ -22,38 +30,32 @@ import sys
 import time
 
 
-def main() -> int:
+def run_workload(metric: str, scene_fn, width: int, height: int) -> dict:
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    import rust_renderer_tpu as rt
     from rust_renderer_tpu.app.main import Application
     from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
 
-    small = os.environ.get("RR_BENCH_SMALL") == "1"
-    width, height = (512, 512) if small else (1920, 1080)
     bounces = 5
-
     cfg = StaticConfig(
         width=width, height=height, samples_per_frame=1, num_bounces=bounces,
         sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
         irradiance_size=32, brdf_lut_size=128,
     )
     app = Application(width, height, RenderGraphMode.PATH_TRACED, cfg)
-    app.create_scene()
+    app.create_scene(scene_fn)
 
     # Warmup: frame 1 includes env capture + compile; frame 2 the steady graph.
     t_compile0 = time.perf_counter()
     app.run(num_frames=2)
     compile_s = time.perf_counter() - t_compile0
 
-    n_frames = 5 if small else 4
+    n_frames = 5 if width <= 512 else 4
     t0 = time.perf_counter()
     # present_every=0: don't block on a host readback inside the loop (the
     # frames-in-flight analog; the reference presents via swapchain, not a
     # device->host copy). The device is drained before the clock stops.
-    last = app.run(num_frames=n_frames, present_every=0)
+    app.run(num_frames=n_frames, present_every=0)
     jax.block_until_ready(app.graph.state["accumulation_image"])
     dt = (time.perf_counter() - t0) / n_frames
 
@@ -63,32 +65,48 @@ def main() -> int:
     # W*H*bounces*3 figure is reported alongside for comparability.
     rays_nominal = width * height * bounces * 3
     rays_active = float(app.graph.state["pt_rays"])
-    mrays_nominal = rays_nominal / dt / 1e6
-    mrays_active = rays_active / dt / 1e6
     tris = int(app.scene.indices.shape[0])
 
-    print(
-        json.dumps(
-            {
-                "metric": "pathtrace_graph_1080p_1spp_fps",
-                "value": round(fps, 3),
-                "unit": "fps",
-                "vs_baseline": round(fps / 30.0, 4),
-                "detail": {
-                    "frame_ms": round(dt * 1000, 3),
-                    "mrays_per_sec": round(mrays_active, 1),
-                    "mrays_per_sec_nominal": round(mrays_nominal, 1),
-                    "bounces": bounces,
-                    "triangles": tris,
-                    "lights": app.renderer.get_num_lights(),
-                    "resolution": f"{width}x{height}",
-                    "compile_s": round(compile_s, 1),
-                    "device": str(jax.devices()[0]),
-                    "restir": "initial+temporal+spatial",
-                },
-            }
-        )
+    return {
+        "metric": metric,
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+        "detail": {
+            "frame_ms": round(dt * 1000, 3),
+            "mrays_per_sec": round(rays_active / dt / 1e6, 1),
+            "mrays_per_sec_nominal": round(rays_nominal / dt / 1e6, 1),
+            "bounces": bounces,
+            "triangles": tris,
+            "lights": app.renderer.get_num_lights(),
+            "resolution": f"{width}x{height}",
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "restir": "initial+temporal+spatial",
+        },
+    }
+
+
+def main() -> int:
+    from rust_renderer_tpu.models.scenes import (
+        create_scene,
+        create_sponza_scale_scene,
     )
+
+    small = os.environ.get("RR_BENCH_SMALL") == "1"
+    width, height = (512, 512) if small else (1920, 1080)
+
+    line = run_workload(
+        "pathtrace_graph_1080p_1spp_fps", create_scene, width, height
+    )
+    print(json.dumps(line), flush=True)
+
+    if os.environ.get("RR_BENCH_SKIP_SCALE") != "1":
+        line2 = run_workload(
+            "pathtrace_sponza_scale_260k_1080p_1spp_fps",
+            create_sponza_scale_scene, width, height,
+        )
+        print(json.dumps(line2), flush=True)
     return 0
 
 

@@ -77,6 +77,9 @@ class Application:
     def _repack(self) -> None:
         """Pack scene arrays + (re)build the BVH — the BLAS/TLAS build
         analog (raytracing.rs:89-111)."""
+        # Registered up front so the PT graph's animated marching-cubes
+        # surface (BASELINE config 5) has a material id in the packed tables.
+        self.renderer.ensure_mc_material()
         with PROFILER.scope("pack_scene"):
             self.scene = self.renderer.pack()
         with PROFILER.scope("build_bvh"):
@@ -174,6 +177,10 @@ class Application:
                     build_path_tracing_render_graph(
                         self.graph, self.cfg, self.camera, self.scene_bvh,
                         self.sun_dir,
+                        marching_cubes_enabled=bool(
+                            int(self.view.marching_cubes_enabled)
+                        ),
+                        mc_material=self.renderer.ensure_mc_material(),
                     )
                 elif mode == RenderGraphMode.RASTERIZED:
                     build_render_graph(

@@ -27,6 +27,7 @@ from rust_renderer_tpu.ops import rays as rayops
 HIT_NONE = 0
 HIT_TRIANGLE = 1
 HIT_SPHERE = 2
+HIT_DYNAMIC = 3  # per-frame geometry (marching-cubes isosurface, ops/mc_bvh.py)
 
 _TRI_CHUNK = 128
 

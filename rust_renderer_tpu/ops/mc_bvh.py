@@ -117,7 +117,11 @@ def _static_topology(grid: int):
             stack.append(2 * h)
         p += 1
     bin_cols = np.stack(
-        [miss_pre.view(np.float32), leaf_pre.view(np.float32)], axis=1
+        [
+            np.ascontiguousarray(miss_pre).view(np.float32),
+            np.ascontiguousarray(leaf_pre).view(np.float32),
+        ],
+        axis=1,
     )
     return dict(
         morton_cells=morton_cells.astype(np.int32),
@@ -127,6 +131,8 @@ def _static_topology(grid: int):
         wide_depth=wide_depth,
         pre2heap=pre2heap,
         bin_cols=bin_cols,
+        miss_pre=miss_pre,
+        leaf_pre=leaf_pre,
         bin_depth=depth + 1,
     )
 
@@ -176,12 +182,10 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
     )
 
     # -- leaf boxes (tight over emitted vertices; empty cells inverted).
-    pv = jnp.where(valid[..., None, None], pos, jnp.nan)
     flat = pos.reshape(v, ls * 3, 3)
     vmask = jnp.repeat(valid, 3, axis=1)[..., None]  # (V, 15, 1)
     lmin = jnp.min(jnp.where(vmask, flat, _BIG), axis=1)  # (V, 3)
     lmax = jnp.max(jnp.where(vmask, flat, -_BIG), axis=1)
-    del pv
 
     morton = jnp.asarray(topo["morton_cells"])
     bmin = lmin[morton]  # static permutation (small)
@@ -242,8 +246,8 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
     dyn_bvh = BVH(
         node_min=heap_min[pre],
         node_max=heap_max[pre],
-        node_miss=jnp.asarray(topo["bin_cols"][:, 0].view(np.int32)),
-        node_leaf=jnp.asarray(topo["bin_cols"][:, 1].view(np.int32)),
+        node_miss=jnp.asarray(topo["miss_pre"]),
+        node_leaf=jnp.asarray(topo["leaf_pre"]),
         leaf_tris=ids,
         leaf_v0=jnp.zeros((1, ls, 3)),
         leaf_e1=jnp.zeros((1, ls, 3)),

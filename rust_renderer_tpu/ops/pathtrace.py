@@ -126,6 +126,7 @@ def path_trace(
     row_offset: jax.Array | int = 0,
     full_size: tuple[int, int] | None = None,
     sky_fn: Callable | None = None,
+    dynamic=None,
 ) -> PathTraceResult:
     """One frame of the reference path tracer over the full image.
 
@@ -135,10 +136,19 @@ def path_trace(
     `accumulation` is this device's row tile; camera mapping and RNG seeds use
     global pixel coordinates so the sharded render is bit-identical to the
     single-chip one (SURVEY.md §5.7).
+    dynamic: ops.mc_bvh.DynamicScene — per-frame geometry (the animated
+    marching-cubes isosurface) traced alongside the static scene, the analog
+    of the reference's in-frame TLAS rebuild (raytracing.rs:400-459).
     """
     if any_hit is None:
         def any_hit(s, o, d, t_min=1e-3, t_max=1e4):
             return closest_hit(s, o, d, t_min, t_max).is_hit
+
+    if dynamic is not None:
+        from rust_renderer_tpu.ops import mc_bvh
+
+        closest_hit = mc_bvh.combine_closest_hit(closest_hit, dynamic)
+        any_hit = mc_bvh.combine_any_hit(any_hit, dynamic)
 
     height, width = accumulation.shape[:2]
     full_height, full_width = full_size if full_size is not None else (height, width)
@@ -166,7 +176,14 @@ def path_trace(
         active = jnp.ones((height, width), bool)
         rays_traced = jnp.float32(0.0)
 
-        for _b in range(cfg.num_bounces):
+        def bounce(carry, _):
+            """One bounce of the wavefront. Runs under lax.scan so the XLA
+            program contains the body ONCE instead of num_bounces inlined
+            copies — the per-graph-structure remote compile cost is dominated
+            by this pass (VERDICT r2 #6); bounces are separated by opaque
+            traversal kernels anyway, so scan loses no fusion that mattered."""
+            (rng_state, origin, direction, throughput, radiance, active,
+             rays_traced) = carry
             # Active-lane ray accounting: one closest-hit per live-direction
             # lane + two NEE visibility rays per lane still active after the
             # bounce (the _nee doubled front).
@@ -195,6 +212,10 @@ def path_trace(
                 )
 
             surf = intersect.surface_at_hit(scene, hit, origin, direction)
+            if dynamic is not None:
+                from rust_renderer_tpu.ops import mc_bvh
+
+                surf = mc_bvh.surface_patch(dynamic, hit, direction, surf)
             rng_state, sc = materials.scatter(
                 scene, surf.material, direction, surf.normal, surf.uv, rng_state
             )
@@ -225,6 +246,14 @@ def path_trace(
                 radiance, reservoirs, px, full_width,
             )
             rays_traced = rays_traced + 2.0 * jnp.sum(active.astype(jnp.float32))
+            return (rng_state, origin, direction, throughput, radiance,
+                    active, rays_traced), None
+
+        carry = (rng_state, origin, direction, throughput, radiance, active,
+                 rays_traced)
+        carry, _ = jax.lax.scan(bounce, carry, None, length=cfg.num_bounces)
+        (rng_state, origin, direction, throughput, radiance, active,
+         rays_traced) = carry
 
         pixel_color = pixel_color + radiance
 

@@ -267,6 +267,28 @@ class Renderer:
     def get_num_lights(self) -> int:
         return len(self.gpu_lights)
 
+    def ensure_mc_material(self, color=(0.0, 1.0, 0.0, 1.0)) -> int:
+        """Material for the marching-cubes isosurface in the path-traced
+        scene (lambertian, the MC pass color — the raster path's draw color,
+        renderers/marching_cubes.rs:63-135). Idempotent."""
+        if getattr(self, "_mc_material_index", None) is not None:
+            return self._mc_material_index
+        self._mc_material_index = len(self.gpu_materials)
+        self.gpu_materials.append(
+            dict(
+                diffuse_map=self.default_diffuse_map_index,
+                normal_map=self.default_normal_map_index,
+                metallic_roughness_map=self.default_metallic_roughness_map_index,
+                occlusion_map=self.default_occlusion_map_index,
+                base_color_factor=np.asarray(color, np.float32),
+                metallic_factor=0.0,
+                roughness_factor=1.0,
+                rt_type=0,  # lambertian
+                rt_prop=0.0,
+            )
+        )
+        return self._mc_material_index
+
     def set_instance_transform(self, instance_index: int, transform: np.ndarray) -> None:
         """Gizmo move analog (prototype/src/main.rs:344-359) — next pack()
         rebuilds world-space pools (the TLAS-rebuild equivalent)."""

@@ -149,8 +149,18 @@ def _rng_for(view, shape_hw):
 def build_path_tracing_render_graph(
     graph: Graph, cfg, camera, scene_bvh, sun_dir,
     need_environment_update: bool = False,
+    marching_cubes_enabled: bool = False,
+    mc_material: int = 0,
+    mc_color=(0.0, 1.0, 0.0, 1.0),
 ) -> None:
-    """PT graph with the ReSTIR chain (mod.rs:189-375)."""
+    """PT graph with the ReSTIR chain (mod.rs:189-375).
+
+    marching_cubes_enabled adds the animated isosurface to the traced scene
+    (BASELINE config 5): an extract pass runs MC each frame, and both the
+    gbuffer raycast and the reference PT trace the device-refit dynamic BVH
+    (ops/mc_bvh.py) alongside the static one — the analog of the reference's
+    per-frame TLAS rebuild covering the MC vertex buffer
+    (marching_cubes.rs:63-135, raytracing.rs:400-459)."""
     w, h = cfg.width, cfg.height
 
     if cfg.sky_mode == "cubemap":
@@ -159,8 +169,59 @@ def build_path_tracing_render_graph(
         else:
             _declare_env_resources(graph, cfg)
 
+    dynamic_fn = None
+    mc_reads: tuple[str, ...] = ()
+    if marching_cubes_enabled:
+        from rust_renderer_tpu.ops import marching_cubes as mc_ops
+
+        v5 = cfg.mc_grid ** 3 * mc_ops.MAX_TRIS_PER_VOXEL
+        graph.create_buffer("mc_positions", (v5, 3, 3))
+        graph.create_buffer("mc_normals", (v5, 3, 3))
+        graph.create_buffer("mc_valid", (v5,), dtype=jnp.int32)
+        graph.create_buffer("marching_cubes_draw_count", (1,), dtype=jnp.int32)
+        mc_reads = ("mc_positions", "mc_normals", "mc_valid")
+
+        def mc_extract(res, scene, view, u):
+            # Fixed [0,32]^3 world domain (the reference's feature region) at
+            # any tessellation — voxel_size scales inversely with grid.
+            result = mc_ops.marching_cubes(
+                grid=cfg.mc_grid, voxel_size=32.0 / cfg.mc_grid,
+                time=view.time,
+            )
+            return {
+                "mc_positions": result.positions,
+                "mc_normals": result.normals,
+                "mc_valid": result.valid.astype(jnp.int32),
+                "marching_cubes_draw_count": result.vertex_count[None],
+            }
+
+        (
+            graph.add_pass("mc_extract")
+            .write("mc_positions").write("mc_normals").write("mc_valid")
+            .write("marching_cubes_draw_count")
+            .render(mc_extract)
+            .build()
+        )
+
+        def dynamic_fn(res, view):
+            from rust_renderer_tpu.ops import mc_bvh
+            from rust_renderer_tpu.ops.marching_cubes import MarchingCubesResult
+
+            # The runtime toggle empties the tree (boxes invert) without a
+            # graph-structure change — mirroring the reference's uniform-flag
+            # (not pipeline-permutation) toggles.
+            on = view.marching_cubes_enabled == 1
+            result = MarchingCubesResult(
+                positions=res["mc_positions"],
+                normals=res["mc_normals"],
+                valid=jnp.logical_and(res["mc_valid"] > 0, on),
+                vertex_count=jnp.int32(0),
+            )
+            return mc_bvh.build_dynamic_scene(result, cfg.mc_grid, mc_material)
+
     # 1. gbuffer (hit positions for the ReSTIR passes, mod.rs:246-254).
-    setup_gbuffer_pass(graph, scene_bvh, w, h)
+    setup_gbuffer_pass(graph, scene_bvh, w, h, dynamic_fn=dynamic_fn,
+                       dynamic_reads=mc_reads, mc_color=mc_color)
 
     # Reservoir buffers; spatial output is persistent — it feeds the NEXT
     # frame's temporal pass as prev (mod.rs:294).
@@ -255,10 +316,11 @@ def build_path_tracing_render_graph(
                 s = sample_cubemap(env, direction)
                 return jnp.where((view.sky_enabled == 1)[..., None], s, 0.0)
 
+        dyn = dynamic_fn(res, view) if dynamic_fn is not None else None
         result = pathtrace_ops.path_trace(
             scene, view, cfg, res["accumulation_image"],
             reservoirs=reservoirs, closest_hit=closest, any_hit=any_hit,
-            sky_fn=sky_fn,
+            sky_fn=sky_fn, dynamic=dyn,
         )
         return {
             "pt_output": result.output,
@@ -266,13 +328,15 @@ def build_path_tracing_render_graph(
             "pt_rays": result.rays_traced,
         }
 
-    (
+    builder = (
         graph.add_pass("reference_pt")
         .read("accumulation_image")
         .write("pt_output").write("accumulation_image").write("pt_rays")
         .render(reference_pt)
-        .build()
     )
+    for name in mc_reads:
+        builder.read(name)
+    builder.build()
 
     # 7. present blit (mod.rs:360-374, blit.frag — PT output is already sRGB).
     graph.create_texture("present_output", w, h, 3)

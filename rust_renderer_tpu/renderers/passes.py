@@ -31,9 +31,15 @@ from rust_renderer_tpu.ops.raster import VisibilityBuffer
 
 
 def setup_gbuffer_pass(graph: Graph, scene_bvh, width: int, height: int,
-                       use_raycast: bool = True) -> None:
+                       use_raycast: bool = True,
+                       dynamic_fn=None, dynamic_reads=(),
+                       mc_color=(0.0, 1.0, 0.0, 1.0)) -> None:
     """MRT gbuffer from all scene meshes (gbuffer.rs:32-51). Visibility via
-    BVH primary rays (default, scalable) or the software rasterizer."""
+    BVH primary rays (default, scalable) or the software rasterizer.
+
+    dynamic_fn(res, view) -> ops.mc_bvh.DynamicScene adds per-frame geometry
+    (the marching-cubes isosurface) to the primary-ray visibility — the
+    PT-graph analog of the reference tracing MC through its rebuilt TLAS."""
     for name in ("gbuffer_position", "gbuffer_normal", "gbuffer_albedo", "gbuffer_pbr"):
         graph.create_texture(name, width, height, 4, clear=1.0)
     graph.create_texture("gbuffer_depth", width, height, 1, clear=1.0)
@@ -47,10 +53,23 @@ def setup_gbuffer_pass(graph: Graph, scene_bvh, width: int, height: int,
             o, d = rayops.generate_camera_rays(
                 view.inverse_view, view.inverse_projection, px, py, width, height
             )
-            hit = bvh_ops.make_closest_hit(scene_bvh)(scene, o, d)
-            gb = gbuffer_ops.from_rays(
-                scene, hit, o, d, projection_view=view.projection @ view.view
-            )
+            closest = bvh_ops.make_closest_hit(scene_bvh)
+            if dynamic_fn is not None:
+                from rust_renderer_tpu.ops import mc_bvh
+
+                dyn = dynamic_fn(res, view)
+                hit = mc_bvh.combine_closest_hit(closest, dyn)(scene, o, d)
+                gb = gbuffer_ops.from_rays(
+                    scene, hit, o, d,
+                    projection_view=view.projection @ view.view,
+                )
+                gb = mc_bvh.patch_gbuffer(dyn, hit, d, gb, mc_color)
+            else:
+                hit = closest(scene, o, d)
+                gb = gbuffer_ops.from_rays(
+                    scene, hit, o, d,
+                    projection_view=view.projection @ view.view,
+                )
         else:
             clip = raster_ops.transform_vertices(
                 scene.positions, view.projection @ view.view
@@ -65,13 +84,15 @@ def setup_gbuffer_pass(graph: Graph, scene_bvh, width: int, height: int,
             "gbuffer_depth": gb.depth,
         }
 
-    (
+    builder = (
         graph.add_pass("gbuffer")
         .write("gbuffer_position").write("gbuffer_normal")
         .write("gbuffer_albedo").write("gbuffer_pbr").write("gbuffer_depth")
         .render(render)
-        .build()
     )
+    for name in dynamic_reads:
+        builder.read(name)
+    builder.build()
 
 
 # -- shadow cascades (renderers/shadow.rs) -----------------------------------
@@ -407,15 +428,22 @@ def setup_atmosphere_pass(graph: Graph, cfg, width: int, height: int,
 
 def setup_marching_cubes_pass(
     graph: Graph, cfg, width: int, height: int,
-    target: str = "deferred_output", voxel_size: float = 1.0,
+    target: str = "deferred_output", voxel_size: float | None = None,
     color=(0.0, 1.0, 0.0, 1.0), flat_normals: bool = False,
 ) -> None:
     """32^3 isosurface extraction + forward draw with depth test against the
     scene (marching_cubes.rs:63-135: reset_counter -> compute dispatch ->
     cmd_draw_indirect). The indirect draw becomes: extract with capacity+mask,
     rasterize the slots (degenerate slots cover nothing), depth-test against
-    gbuffer depth, lambert-shade with the pass color."""
+    gbuffer depth, lambert-shade with the pass color.
+
+    voxel_size defaults to 32/cfg.mc_grid so the world-space domain is the
+    reference's fixed [0,32]^3 (marching_cubes.comp density features) at any
+    grid resolution — mc_grid only controls tessellation."""
     from rust_renderer_tpu.ops import marching_cubes as mc_ops
+
+    if voxel_size is None:
+        voxel_size = 32.0 / cfg.mc_grid
 
     graph.create_buffer("marching_cubes_draw_count", (1,), dtype=jnp.int32)
 
