@@ -30,8 +30,10 @@ import sys
 import time
 
 
-def run_workload(metric: str, scene_fn, width: int, height: int) -> dict:
+def run_workload(metric: str, scene_fn, width: int, height: int,
+                 mc: bool = False) -> dict:
     import jax
+    import numpy as np
 
     from rust_renderer_tpu.app.main import Application
     from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
@@ -44,6 +46,10 @@ def run_workload(metric: str, scene_fn, width: int, height: int) -> dict:
     )
     app = Application(width, height, RenderGraphMode.PATH_TRACED, cfg)
     app.create_scene(scene_fn)
+    if mc:
+        # BASELINE config 5: the animated marching-cubes isosurface is
+        # extracted, BVH-refit, and traced in the PT scene every frame.
+        app.view = app.view.replace(marching_cubes_enabled=np.uint32(1))
 
     # Warmup: frame 1 includes env capture + compile; frame 2 the steady graph.
     t_compile0 = time.perf_counter()
@@ -107,6 +113,15 @@ def main() -> int:
             create_sponza_scale_scene, width, height,
         )
         print(json.dumps(line2), flush=True)
+
+    if os.environ.get("RR_BENCH_SKIP_MC") != "1":
+        # BASELINE config 5 (VERDICT r2 #4): PT + BVH + ReSTIR + animated
+        # marching-cubes isosurface.
+        line3 = run_workload(
+            "pathtrace_mc_isosurface_1080p_1spp_fps",
+            create_scene, width, height, mc=True,
+        )
+        print(json.dumps(line3), flush=True)
     return 0
 
 

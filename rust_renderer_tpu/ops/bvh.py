@@ -109,6 +109,13 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
     cols [width*k + c] for k < 6 are child c's (min.xyz, max.xyz) planes;
     col 6*width + c is child c's ref (bitcast i32): >= 0 wide node index,
     <= -2 encodes leaf row -(ref+2), WIDE_EMPTY an empty slot.
+
+    Child SLOT ORDER is the collapse order and is deliberately untouched:
+    a round-3 experiment sorting children along the node's longest axis
+    (to enable a direction-signed far-to-near push, CWBVH-style) REGRESSED
+    the production kernels on real fronts — any-hit +35%, divergent
+    closest +12% — before its own ordering logic even ran. Visit order is
+    perf-sensitive; see PERFORMANCE.md round 3.
     """
     node_min = np.asarray(node_min, np.float32)
     node_max = np.asarray(node_max, np.float32)

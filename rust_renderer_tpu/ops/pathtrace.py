@@ -105,8 +105,15 @@ def _nee(scene, view, any_hit, rng_state, origin, throughput, active,
         throughput, 0.0,
     )
 
-    # light contribution (reference.rgen:111-125)
-    p_hat = restirops.target_function(scene, light_index, origin)
+    # light contribution (reference.rgen:111-125). p_hat comes straight from
+    # the light rows fetched above — a second dense select per bounce
+    # (target_function) measured ~15 ms/bounce at 1080p for identical data.
+    lum = (0.2126 * lrows[..., 3] + 0.7152 * lrows[..., 4]
+           + 0.0722 * lrows[..., 5])
+    d2 = distance_to_light * distance_to_light
+    p_hat = jnp.where(
+        light_index < 0, 0.0, lum / jnp.maximum(d2, 1e-12)
+    )
     contrib = (p_hat * light_weight)[..., None] * throughput
     take = jnp.logical_and(
         jnp.logical_and(active, valid),

@@ -89,19 +89,20 @@ def flagship_step(
     hit = closest_hit(scene, o, d)
     hit_pos = jnp.where(hit.is_hit[..., None], o + hit.t[..., None] * d, 1.0)
 
-    # 2-3. reset + initial RIS (restir/initial_ris.rgen).
-    _, initial = restir_ops.initial_ris_pass(
+    # 2-3. reset + initial RIS (restir/initial_ris.rgen). p_hat rides along
+    # pass to pass (exact reuse, renderers/__init__.py does the same).
+    _, initial, p_hat_i = restir_ops.initial_ris_pass(
         scene, state0, hit_pos, view.num_lights, view.max_num_lights_used,
-        cfg.ris_candidates,
+        cfg.ris_candidates, return_p_hat=True,
     )
 
     # 4. temporal reuse against the gathered full-height prev planes.
     prev_full = _gather_reservoir(prev_spatial, axis) if axis else prev_spatial
     state_t = state0 * jnp.uint32(9781) + jnp.uint32(1)
-    _, temporal = restir_ops.temporal_reuse_pass(
+    _, temporal, p_hat_t = restir_ops.temporal_reuse_pass(
         scene, state_t, hit_pos, initial, prev_full,
         view.prev_frame_projection_view, view.temporal_reuse_enabled,
-        full_height=fh,
+        full_height=fh, p_hat_initial=p_hat_i, return_p_hat=True,
     )
 
     # 5. spatial reuse with neighbors from the gathered temporal planes.
@@ -111,6 +112,7 @@ def flagship_step(
         scene, state_s, hit_pos, temporal, view.spatial_reuse_enabled,
         cfg.spatial_neighbors, cfg.spatial_radius,
         temporal_full=temporal_full, row_offset=row_offset,
+        p_hat_temporal=p_hat_t,
     )
 
     # 6. reference PT with reservoir NEE (reference.rgen).

@@ -245,19 +245,29 @@ def build_path_tracing_render_graph(
 
     graph.add_pass("reset_reservoirs").render(reset).build()
 
+    # p_hat of each pass's selected sample rides along to the next pass so
+    # no pass re-selects light rows for a reservoir it was just handed
+    # (exact reuse — ops/restir.py Y-equality argument; measured ~10-15 ms
+    # per dense select at 1080p).
+    graph.create_buffer("initial_ris_p_hat", (h, w))
+    graph.create_buffer("temporal_reuse_p_hat", (h, w))
+
     # 3. initial RIS (restir/initial_ris.rgen).
     def initial_ris(res, scene, view, u):
         state = _rng_for(view, (h, w))
         hit_pos = res["gbuffer_position"][..., :3]
-        state, r = restir_ops.initial_ris_pass(
+        state, r, p_hat = restir_ops.initial_ris_pass(
             scene, state, hit_pos, view.num_lights, view.max_num_lights_used,
-            cfg.ris_candidates,
+            cfg.ris_candidates, return_p_hat=True,
         )
-        return _write_reservoir("initial_ris_reservoirs", r)
+        out = _write_reservoir("initial_ris_reservoirs", r)
+        out["initial_ris_p_hat"] = p_hat
+        return out
 
     (
         graph.add_pass("initial_ris")
         .read("gbuffer_position")
+        .write("initial_ris_p_hat")
         .render(initial_ris)
         .build()
     )
@@ -268,15 +278,19 @@ def build_path_tracing_render_graph(
         hit_pos = res["gbuffer_position"][..., :3]
         initial = _read_reservoir(res, "initial_ris_reservoirs")
         prev = _read_reservoir(res, "spatial_reuse_reservoirs")
-        state, out = restir_ops.temporal_reuse_pass(
+        state, out, p_hat = restir_ops.temporal_reuse_pass(
             scene, state, hit_pos, initial, prev,
             view.prev_frame_projection_view, view.temporal_reuse_enabled,
+            p_hat_initial=res["initial_ris_p_hat"], return_p_hat=True,
         )
-        return _write_reservoir("temporal_reuse_reservoirs", out)
+        writes = _write_reservoir("temporal_reuse_reservoirs", out)
+        writes["temporal_reuse_p_hat"] = p_hat
+        return writes
 
     (
         graph.add_pass("temporal_reuse")
-        .read("gbuffer_position")
+        .read("gbuffer_position").read("initial_ris_p_hat")
+        .write("temporal_reuse_p_hat")
         .render(temporal)
         .build()
     )
@@ -289,12 +303,13 @@ def build_path_tracing_render_graph(
         state, out = restir_ops.spatial_reuse_pass(
             scene, state, hit_pos, temporal_r, view.spatial_reuse_enabled,
             cfg.spatial_neighbors, cfg.spatial_radius,
+            p_hat_temporal=res["temporal_reuse_p_hat"],
         )
         return _write_reservoir("spatial_reuse_reservoirs", out)
 
     (
         graph.add_pass("spatial_reuse")
-        .read("gbuffer_position")
+        .read("gbuffer_position").read("temporal_reuse_p_hat")
         .render(spatial)
         .build()
     )

@@ -49,3 +49,31 @@ def test_raster_golden(mode_name):
     # Well under visible-change territory but above cross-platform float
     # noise (goldens are generated on the same CPU backend the suite runs on).
     assert rmse < 2e-3, f"{mode_name} drifted from golden: RMSE {rmse:.5f}"
+
+
+def test_shadow_cascade_golden():
+    """Blessed cascade depth maps (renderers/shadow.rs split + sphere-fit
+    behavior): any silent change to split computation, cascade matrices, or
+    the depth rasterizer moves these layers."""
+    path = os.path.join(GOLDEN, f"shadow_cascades_{SIZE}.npy")
+    if not os.path.exists(path):
+        pytest.skip(f"golden missing: {path} (run tools/make_raster_golden.py)")
+    golden = np.load(path)
+
+    from rust_renderer_tpu.app.main import Application
+    from rust_renderer_tpu.models import create_cornell_box_scene
+    from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
+
+    cfg = StaticConfig(
+        shadow_map_size=128, cubemap_size=32, cubemap_mips=3,
+        irradiance_size=8, brdf_lut_size=32, num_bounces=2,
+    )
+    app = Application(SIZE, SIZE, RenderGraphMode.RASTERIZED, cfg)
+    app.create_scene(create_cornell_box_scene)
+    app.renderer.add_light([0.0, 1.5, 1.0], [1.0, 1.0, 1.0])
+    app._repack()
+    app.run(num_frames=1)
+    sm = np.asarray(app.graph.render(app.scene, app.view)["shadow_map"])
+    assert sm.shape == golden.shape
+    rmse = float(np.sqrt(np.mean((sm - golden) ** 2)))
+    assert rmse < 2e-3, f"shadow cascades drifted from golden: RMSE {rmse:.5f}"

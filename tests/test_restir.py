@@ -207,3 +207,47 @@ def test_dense_light_path_matches_gather():
     np.testing.assert_array_equal(np.asarray(res_d.Y), np.asarray(res_g.Y))
     np.testing.assert_allclose(np.asarray(res_d.W_X), np.asarray(res_g.W_X),
                                rtol=2e-5)
+
+
+def test_dense_light_path_chunked_matches_direct():
+    """Over the element budget the dense paths lax.map pixel chunks
+    (config 4 at 1080p x 128 lights); chunking must be bit-exact vs the
+    direct dense computation."""
+    import rust_renderer_tpu.ops.restir as rmod
+
+    scene = _light_scene(13, seed=21)
+    rs = np.random.default_rng(5)
+    n = 2500
+    pos = jnp.asarray(rs.uniform(-6, 6, (n, 3)).astype(np.float32))
+    idx = jnp.asarray(rs.integers(-1, 13, n).astype(np.int32))
+    state = rng.init_rng(
+        jnp.arange(n, dtype=jnp.int32), jnp.zeros(n, jnp.int32), n, 3
+    )
+
+    direct_tf = restir.target_function(scene, idx, pos)
+    _, direct_res = restir.resample(scene, state, pos, jnp.int32(13),
+                                    jnp.int32(1024))
+    direct_rows = restir.select_light_rows(scene, jnp.clip(idx, 0, 12))
+
+    old = rmod._DENSE_ELEM_BUDGET
+    try:
+        # Budget forcing ~3 chunks (chunk floor is 1024 pixels).
+        rmod._DENSE_ELEM_BUDGET = 1024 * 13
+        chunked_tf = restir.target_function(scene, idx, pos)
+        _, chunked_res = restir.resample(scene, state, pos, jnp.int32(13),
+                                         jnp.int32(1024))
+        chunked_rows = restir.select_light_rows(scene, jnp.clip(idx, 0, 12))
+    finally:
+        rmod._DENSE_ELEM_BUDGET = old
+
+    # Same math, but XLA reassociates reductions differently across the two
+    # compiled graphs — agreement is to float ulps, not bitwise.
+    np.testing.assert_allclose(np.asarray(direct_tf), np.asarray(chunked_tf),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(direct_rows),
+                               np.asarray(chunked_rows), rtol=1e-6)
+    same_y = np.asarray(direct_res.Y) == np.asarray(chunked_res.Y)
+    assert same_y.mean() > 0.999  # ulp flips can swing a borderline take
+    np.testing.assert_allclose(np.asarray(direct_res.W_X)[same_y],
+                               np.asarray(chunked_res.W_X)[same_y],
+                               rtol=1e-5)

@@ -1,0 +1,229 @@
+"""Capture REAL per-bounce ray fronts from the PT loop and bench traversal
+variants on them.
+
+The frame profile at 1920x1080 (round 3) shows closest-hit bounce fronts
+cost 64 -> 691 ms GROWING with bounce depth, and NEE any-hit 170 -> 588 ms —
+together 86% of the frame. This tool reproduces the exact fronts (same RNG,
+same scatter) with a python-level bounce loop, then times kernel variants
+per front:
+
+  prod            wide kernel as the frame runs it (closest multi=1, anyhit 4)
+  multiK          multi-block interleaving at K
+  ordered         near-first child ordering (sorting network)
+  compact         stable active-first partition before the kernel + scatter
+                  back (dead lanes leave as zero-direction blocks that retire
+                  in one step; live blocks shrink to the active fraction)
+
+Usage: python tools/bench_fronts.py [size] [--variants ...]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rust_renderer_tpu as rt
+from rust_renderer_tpu.models import create_scene
+from rust_renderer_tpu.ops import bvh as bvhmod
+from rust_renderer_tpu.ops import intersect, materials
+from rust_renderer_tpu.ops import rays as rayops
+from rust_renderer_tpu.ops import restir as restirops
+from rust_renderer_tpu.ops import rng as rngmod
+from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
+from rust_renderer_tpu.settings import RenderSettings, StaticConfig
+
+
+def capture_fronts(n, bounces=5):
+    """Replicates path_trace's bounce loop, returning per-bounce
+    (origin, direction) closest fronts and the doubled NEE fronts."""
+    r = rt.Renderer()
+    cam = rt.Camera([-10.28, 2.10, -0.18], [0.0, 0.5, 0.0], aspect_ratio=1.0)
+    create_scene(r, cam)
+    scene = r.pack()
+    bvh = bvhmod.build_scene_bvh(scene)
+    view = RenderSettings.default(num_lights=r.get_num_lights()).with_camera(cam, n, n)
+
+    closest = bvhmod.make_closest_hit(bvh)
+    py = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    state = rngmod.init_rng(px, py, n, jnp.int32(7))
+
+    @jax.jit
+    def start(state):
+        state, jx = rngmod.random_float(state)
+        state, jy = rngmod.random_float(state)
+        o, d = rayops.generate_camera_rays(
+            view.inverse_view, view.inverse_projection,
+            px.astype(jnp.float32) + jx, py.astype(jnp.float32) + jy, n, n)
+        return state, o, d
+
+    state, origin, direction = start(state)
+    active = jnp.ones((n, n), bool)
+
+    @jax.jit
+    def step(state, origin, direction, active, hit):
+        surf = intersect.surface_at_hit(scene, hit, origin, direction)
+        state, sc = materials.scatter(
+            scene, surf.material, direction, surf.normal, surf.uv, state)
+        missed = jnp.logical_not(hit.is_hit)
+        terminated = jnp.logical_and(
+            active, jnp.logical_or(missed, jnp.logical_not(sc.is_scattered)))
+        active = jnp.logical_and(active, jnp.logical_not(terminated))
+        new_origin = rayops.offset_ray(surf.position, surf.normal)
+        origin = jnp.where(active[..., None], new_origin, origin)
+        direction = jnp.where(active[..., None], sc.direction, 0.0)
+        # NEE front (sun + uniform light pick, as _nee does)
+        sun = rayops.normalize(view.sun_dir)
+        state, uni_idx, _ = restirops.sample_light_uniform(
+            state, view.num_lights, view.max_num_lights_used)
+        lrows = restirops.select_light_rows(
+            scene, jnp.clip(uni_idx, 0, scene.light_pos.shape[0] - 1).reshape(-1)
+        ).reshape(active.shape + (6,))
+        to_light = lrows[..., :3] - origin
+        dist = jnp.linalg.norm(to_light, axis=-1)
+        ldir = to_light / jnp.maximum(dist, 1e-12)[..., None]
+        am = active[..., None]
+        o2 = jnp.concatenate([origin, origin], axis=0)
+        d2 = jnp.concatenate([
+            jnp.where(am, jnp.broadcast_to(sun, origin.shape), 0.0),
+            jnp.where(am, ldir, 0.0)], axis=0)
+        tmax2 = jnp.concatenate(
+            [jnp.full(active.shape, 1e4), dist * (1.0 - 1e-4)], axis=0)
+        return state, origin, direction, active, o2, d2, tmax2
+
+    closest_fronts = []
+    nee_fronts = []
+    for b in range(bounces):
+        closest_fronts.append((origin, direction, float(jnp.mean(
+            (jnp.sum(direction * direction, -1) > 0).astype(jnp.float32)))))
+        hit = closest(scene, origin, direction)
+        state, origin, direction, active, o2, d2, tmax2 = step(
+            state, origin, direction, active, hit)
+        nee_fronts.append((o2, d2, tmax2, float(jnp.mean(
+            (jnp.sum(d2 * d2, -1) > 0).astype(jnp.float32)))))
+    for f in closest_fronts:
+        jax.block_until_ready(f[0])
+    return bvh, closest_fronts, nee_fronts
+
+
+def compact_order(direction):
+    """Stable active-first permutation (flat raster order preserved)."""
+    live = (jnp.sum(direction * direction, axis=-1) > 0.0).reshape(-1)
+    na = jnp.cumsum(live.astype(jnp.int32))
+    total = na[-1]
+    rank_live = na - 1
+    rank_dead = total + jnp.cumsum((~live).astype(jnp.int32)) - 1
+    perm_pos = jnp.where(live, rank_live, rank_dead)  # old -> new
+    inv = jnp.zeros_like(perm_pos).at[perm_pos].set(
+        jnp.arange(perm_pos.shape[0], dtype=jnp.int32))
+    return inv  # new -> old gather index
+
+
+def octsort_order(direction, group=4096):
+    """Direction-octant sort WITHIN fixed groups of `group` consecutive rays
+    (4 packet blocks): preserves origin locality (the round-1 global-sort
+    killer) while giving each 1024-ray block a narrower direction union.
+    Dead lanes (octant forced to 8) compact to the group tail."""
+    d = direction.reshape(-1, 3)
+    live = jnp.sum(d * d, axis=-1) > 0.0
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+        | ((d[:, 2] < 0).astype(jnp.int32) << 2)
+    )
+    octant = jnp.where(live, octant, 8)
+    n = d.shape[0]
+    g = octant.reshape(-1, group)
+    order = jnp.argsort(g, axis=1, stable=True).astype(jnp.int32)
+    base = jnp.arange(0, n, group, dtype=jnp.int32)[:, None]
+    return (order + base).reshape(-1)  # new -> old gather index
+
+
+def bench(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1000
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("size", type=int, nargs="?", default=512)
+    ap.add_argument("--variants", default="prod,multi4,multi8,ordered,compact")
+    ap.add_argument("--bounces", type=int, default=5)
+    args = ap.parse_args()
+    n = args.size
+
+    bvh, closest_fronts, nee_fronts = capture_fronts(n, args.bounces)
+    variants = args.variants.split(",")
+
+    def run_variant(v, o, d, tmin, tmax, any_hit):
+        if v == "prod":
+            kw = dict(multi=4) if any_hit else {}
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit, **kw)
+        if v.startswith("multi"):
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit,
+                                          multi=int(v[5:]))
+        if v == "ordered":
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit, ordered=True)
+        if v in ("compact", "octsort"):
+            shape = o.shape[:-1]
+            inv = compact_order(d) if v == "compact" else octsort_order(d)
+            of = o.reshape(-1, 3)[inv]
+            df = d.reshape(-1, 3)[inv]
+            if isinstance(tmax, jnp.ndarray) and tmax.ndim:
+                tmaxf = tmax.reshape(-1)[inv].reshape(shape)
+            else:
+                tmaxf = tmax
+            kw = dict(multi=4) if any_hit else {}
+            t, p, u, vv = traverse_packet_pallas(
+                bvh, of.reshape(shape + (3,)), df.reshape(shape + (3,)),
+                tmin, tmaxf, any_hit=any_hit, **kw)
+            perm = jnp.zeros_like(inv).at[inv].set(
+                jnp.arange(inv.shape[0], dtype=jnp.int32))
+            back = lambda x: x.reshape(-1)[perm].reshape(shape)
+            return back(t), back(p), back(u), back(vv)
+        raise ValueError(v)
+
+    closest_fns = {
+        v: jax.jit(lambda o, d, v=v: run_variant(v, o, d, 1e-3, 1e4, False))
+        for v in variants
+    }
+    nee_fns = {
+        v: jax.jit(lambda o, d, tm, v=v: run_variant(v, o, d, 1e-3, tm, True))
+        for v in variants
+    }
+
+    print(f"== closest-hit fronts ({n}x{n}) ==")
+    header = "bounce active% " + " ".join(f"{v:>10s}" for v in variants)
+    print(header)
+    for b, (o, d, frac) in enumerate(closest_fronts):
+        row = f"{b:6d} {frac*100:6.1f}% "
+        for v in variants:
+            ms = bench(closest_fns[v], o, d)
+            row += f"{ms:9.2f}m "
+        print(row, flush=True)
+
+    print(f"== NEE any-hit doubled fronts ==")
+    print(header)
+    for b, (o2, d2, tmax2, frac) in enumerate(nee_fronts):
+        row = f"{b:6d} {frac*100:6.1f}% "
+        for v in variants:
+            ms = bench(nee_fns[v], o2, d2, tmax2)
+            row += f"{ms:9.2f}m "
+        print(row, flush=True)
+
+
+if __name__ == "__main__":
+    main()

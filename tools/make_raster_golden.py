@@ -36,6 +36,28 @@ def main() -> int:
         np.save(path, img)
         save_png(path.replace(".npy", ".png"), img)
         print(f"wrote {path} (mean {img.mean():.4f}, max {img.max():.4f})")
+
+    # Shadow-cascade golden (test_shadow_cascade_golden): same scene/config.
+    from rust_renderer_tpu.app.main import Application
+    from rust_renderer_tpu.models import create_cornell_box_scene
+    from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
+
+    cfg = StaticConfig(
+        shadow_map_size=128, cubemap_size=32, cubemap_mips=3,
+        irradiance_size=8, brdf_lut_size=32, num_bounces=2,
+    )
+    app = Application(SIZE, SIZE, RenderGraphMode.RASTERIZED, cfg)
+    app.create_scene(create_cornell_box_scene)
+    app.renderer.add_light([0.0, 1.5, 1.0], [1.0, 1.0, 1.0])
+    app._repack()
+    app.run(num_frames=1)
+    sm = np.asarray(app.graph.render(app.scene, app.view)["shadow_map"])
+    path = os.path.join(GOLDEN, f"shadow_cascades_{SIZE}.npy")
+    np.save(path, sm)
+    for i in range(sm.shape[0]):
+        save_png(path.replace(".npy", f"_c{i}.png"),
+                 np.repeat(sm[i][..., None], 3, axis=-1))
+    print(f"wrote {path} (mean {sm.mean():.4f}, min {sm.min():.4f})")
     return 0
 
 

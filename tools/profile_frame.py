@@ -18,16 +18,20 @@ from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    size = sys.argv[1] if len(sys.argv) > 1 else "512"
     mode = sys.argv[2] if len(sys.argv) > 2 else "pt"
+    if "x" in size:
+        w, h = (int(v) for v in size.split("x"))
+    else:
+        w = h = int(size)
     cfg = StaticConfig(
-        width=n, height=n, samples_per_frame=1, num_bounces=5,
+        width=w, height=h, samples_per_frame=1, num_bounces=5,
         sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
         irradiance_size=32, brdf_lut_size=128,
     )
     gmode = (RenderGraphMode.RASTERIZED if mode == "raster"
              else RenderGraphMode.PATH_TRACED)
-    app = Application(n, n, gmode, cfg)
+    app = Application(w, h, gmode, cfg)
     app.create_scene()
     app.run(num_frames=2)  # compile + steady
 
@@ -42,17 +46,20 @@ def main():
     with gzip.open(paths[0], "rt") as fh:
         trace = json.load(fh)
     durs: dict[str, float] = {}
+    events: dict[str, list[float]] = {}
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "X" and "dur" in ev and not ev.get(
             "name", ""
         ).startswith("$"):
             name = ev["name"]
             durs[name] = durs.get(name, 0.0) + ev["dur"]
-    total = sum(v for k, v in durs.items()
-                if not ("block_until" in k or "trace" in k))
+            events.setdefault(name, []).append(ev["dur"])
     print(f"-- top ops over 2 frames (us) --")
     for name, us in sorted(durs.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{us/1000:9.2f} ms  {name[:110]}")
+        evs = sorted(events[name], reverse=True)
+        per = " ".join(f"{e/1000:.1f}" for e in evs[:14])
+        print(f"{us/1000:9.2f} ms  n={len(evs):3d}  {name[:80]}")
+        print(f"             [{per}]")
 
 
 if __name__ == "__main__":
