@@ -102,26 +102,29 @@ def main() -> int:
     small = os.environ.get("RR_BENCH_SMALL") == "1"
     width, height = (512, 512) if small else (1920, 1080)
 
-    line = run_workload(
-        "pathtrace_graph_1080p_1spp_fps", create_scene, width, height
-    )
-    print(json.dumps(line), flush=True)
+    def emit(metric, *args, **kw):
+        # A workload that faults the TPU worker must not take the earlier
+        # metric lines (or the driver's JSON parse) down with it.
+        try:
+            print(json.dumps(run_workload(metric, *args, **kw)), flush=True)
+        except Exception as e:  # noqa: BLE001 — report, don't crash the bench
+            print(json.dumps({
+                "metric": metric, "value": 0.0, "unit": "fps",
+                "vs_baseline": 0.0,
+                "detail": {"error": f"{type(e).__name__}: {e}"[:300]},
+            }), flush=True)
+
+    emit("pathtrace_graph_1080p_1spp_fps", create_scene, width, height)
 
     if os.environ.get("RR_BENCH_SKIP_SCALE") != "1":
-        line2 = run_workload(
-            "pathtrace_sponza_scale_260k_1080p_1spp_fps",
-            create_sponza_scale_scene, width, height,
-        )
-        print(json.dumps(line2), flush=True)
+        emit("pathtrace_sponza_scale_260k_1080p_1spp_fps",
+             create_sponza_scale_scene, width, height)
 
     if os.environ.get("RR_BENCH_SKIP_MC") != "1":
         # BASELINE config 5 (VERDICT r2 #4): PT + BVH + ReSTIR + animated
         # marching-cubes isosurface.
-        line3 = run_workload(
-            "pathtrace_mc_isosurface_1080p_1spp_fps",
-            create_scene, width, height, mc=True,
-        )
-        print(json.dumps(line3), flush=True)
+        emit("pathtrace_mc_isosurface_1080p_1spp_fps",
+             create_scene, width, height, mc=True)
     return 0
 
 

@@ -53,7 +53,7 @@ class Application:
         self.camera = rt.Camera(
             [-10.28, 2.10, -0.18], [0.0, 0.5, 0.0],
             fov_degrees=60.0, aspect_ratio=width / height,
-            z_near=0.01, z_far=20000.0, speed=0.2,
+            z_near=0.01, z_far=1000.0, speed=0.2,
         )
         self.graph = rt.Graph(sanitize=sanitize)
         self.input = Input()

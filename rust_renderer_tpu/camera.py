@@ -23,7 +23,12 @@ class Camera:
         fov_degrees: float = 60.0,
         aspect_ratio: float = 2000.0 / 1100.0,
         z_near: float = 0.01,
-        z_far: float = 20000.0,
+        # 1000, NOT 20000: the reference app's far plane
+        # (prototype/src/main.rs:44-52). The cascade frustum fit inherits
+        # this range — a 20x-too-far plane made every CSM cascade cover km
+        # of air and rasterized whole scenes into a sub-pixel speck
+        # (all-ones shadow maps; found via the cascade golden, round 3).
+        z_far: float = 1000.0,
         speed: float = 0.2,
     ):
         self.fov_degrees = float(fov_degrees)
