@@ -63,6 +63,7 @@ class RenderPass:
     uniforms: dict[str, Any]
     fn: Callable  # fn(resources: dict, scene, view, uniforms) -> dict of writes
     fn_key: Any  # structural identity for the jit cache
+    isolated: bool = False  # compiled as its OWN XLA program (see isolate())
 
 
 class PassBuilder:
@@ -75,6 +76,18 @@ class PassBuilder:
         self._writes: list[str] = []
         self._uniforms: dict[str, Any] = {}
         self._fn: Callable | None = None
+        self._isolated = False
+
+    def isolate(self) -> "PassBuilder":
+        """Compile this pass as its OWN XLA program instead of fusing it
+        into the frame program. Use for passes whose bodies are large
+        elementwise graphs (e.g. the 32^3 marching-cubes extract): one
+        giant fused frame program is a known TPU-worker crash mode, and
+        splitting also keeps the per-structure compile cost of the main
+        frame program down (the reference's per-pipeline compile economics,
+        graph.rs:637-671)."""
+        self._isolated = True
+        return self
 
     def read(self, resource: str) -> "PassBuilder":
         self._reads.append(resource)
@@ -123,6 +136,7 @@ class PassBuilder:
                 uniforms=self._uniforms,
                 fn=fn,
                 fn_key=(getattr(fn, "__module__", "?"), getattr(fn, "__qualname__", repr(fn))),
+                isolated=self._isolated,
             )
         )
 
@@ -144,8 +158,9 @@ class Graph:
         self.persist: set[str] = set()
         self.state: dict[str, jax.Array] = {}
         self._compiled: dict[Any, Callable] = {}
-        self._last_good: Callable | None = None
-        self._last_good_gen: int | None = None
+        # Per program-group: (last successfully executed fn, its generation)
+        # — the keep-old-executable hot-reload fallback.
+        self._last_good: dict[int, tuple[Callable, int]] = {}
         self._generation = 0
         self.current_frame = 0
         self.sanitize = bool(sanitize)
@@ -245,12 +260,25 @@ class Graph:
             self._generation,
             self.sanitize,
             tuple(
-                (p.name, p.fn_key, tuple(p.reads), tuple(p.writes), tuple(p.uniforms))
+                (p.name, p.fn_key, tuple(p.reads), tuple(p.writes),
+                 tuple(p.uniforms), p.isolated)
                 for p in self.passes
             ),
             tuple(sorted((d.name, d.shape, str(d.dtype)) for d in self.descs.values())),
             tuple(sorted(self.persist)),
         )
+
+    @staticmethod
+    def _group_passes(passes: list[RenderPass]) -> list[list[RenderPass]]:
+        """Consecutive non-isolated passes form one XLA program; each
+        isolated pass is its own program (PassBuilder.isolate)."""
+        groups: list[list[RenderPass]] = []
+        for p in passes:
+            if p.isolated or not groups or groups[-1][-1].isolated:
+                groups.append([p])
+            else:
+                groups[-1].append(p)
+        return groups
 
     def prepare(self) -> None:
         """Allocate any missing persistent resources (the lazy part of
@@ -267,21 +295,15 @@ class Graph:
         in place for the next frame.
         """
         self.prepare()
-        key = self._signature()
-        passes = list(self.passes)
+        sig = self._signature()
         descs = dict(self.descs)
         persist = set(self.persist)
+        groups = self._group_passes(list(self.passes))
+        sanitize = self.sanitize
 
-        if key not in self._compiled:
-            log.info(
-                "compiling frame graph: %d passes (%s)",
-                len(passes), ", ".join(p.name for p in passes),
-            )
-
-            sanitize = self.sanitize
-
-            def frame_fn(state: dict, scene, view, uniforms: list[dict]):
-                resources = dict(state)
+        def make_group_fn(passes: list[RenderPass]):
+            def group_fn(resources: dict, scene, view, uniforms: list[dict]):
+                resources = dict(resources)
                 checks: dict[str, jax.Array] = {}
                 # Transient resources materialize on first use; declared
                 # clears behave like the reference's attachment clears.
@@ -297,38 +319,47 @@ class Graph:
                                 checks[f"{p.name}/{wname}"] = jnp.sum(
                                     (~jnp.isfinite(arr)).astype(jnp.int32)
                                 )
-                new_state = {n: resources[n] for n in persist if n in resources}
-                return resources, new_state, checks
+                return resources, checks
 
-            self._compiled[key] = jax.jit(frame_fn)
+            return group_fn
 
-        uniforms = [p.uniforms for p in passes]
-        fn = self._compiled[key]
-        try:
-            resources, new_state, checks = fn(self.state, scene, view, uniforms)
-            self._last_good = fn
-            self._last_good_gen = self._generation
-        except Exception:
-            # Keep-old-executable is ONLY for hot-reload-induced failures
-            # (pipeline.rs:109-121 recompiles a shader and keeps the old
-            # pipeline on error). A failure with no reload since the last
-            # good frame is a genuine runtime fault (OOM, device fault) and
-            # must surface, not silently re-render stale output.
-            reloaded = (
-                self._last_good is not None
-                and self._last_good_gen is not None
-                and self._generation != self._last_good_gen
-            )
-            if not reloaded:
-                raise
-            log.exception(
-                "hot-reloaded frame failed to compile/execute; "
-                "keeping previous pipeline"
-            )
-            self._compiled[key] = self._last_good
-            resources, new_state, checks = self._last_good(
-                self.state, scene, view, uniforms
-            )
+        resources: dict[str, jax.Array] = dict(self.state)
+        checks: dict[str, jax.Array] = {}
+        for gi, group in enumerate(groups):
+            key = (sig, gi)
+            if key not in self._compiled:
+                log.info(
+                    "compiling frame program %d/%d: %d passes (%s)",
+                    gi + 1, len(groups), len(group),
+                    ", ".join(p.name for p in group),
+                )
+                self._compiled[key] = jax.jit(make_group_fn(group))
+            uniforms = [p.uniforms for p in group]
+            fn = self._compiled[key]
+            try:
+                resources, group_checks = fn(resources, scene, view, uniforms)
+                self._last_good[gi] = (fn, self._generation)
+            except Exception:
+                # Keep-old-executable is ONLY for hot-reload-induced
+                # failures (pipeline.rs:109-121 recompiles a shader and
+                # keeps the old pipeline on error). A failure with no
+                # reload since the last good frame is a genuine runtime
+                # fault (OOM, device fault) and must surface, not silently
+                # re-render stale output.
+                old = self._last_good.get(gi)
+                reloaded = old is not None and self._generation != old[1]
+                if not reloaded:
+                    raise
+                log.exception(
+                    "hot-reloaded frame program %d failed to compile/execute;"
+                    " keeping previous pipeline", gi,
+                )
+                self._compiled[key] = old[0]
+                resources, group_checks = old[0](
+                    resources, scene, view, uniforms
+                )
+            checks.update(group_checks)
+        new_state = {n: resources[n] for n in persist if n in resources}
         self.state.update(new_state)
         if checks:
             # Debug mode: forcing the counts to host each frame is the point.

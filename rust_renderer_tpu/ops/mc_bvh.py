@@ -145,6 +145,65 @@ class DynamicScene(NamedTuple):
     material: jax.Array  # scalar i32 material id (lambertian, MC color)
 
 
+def table_shapes(grid: int) -> dict[str, tuple[int, ...]]:
+    """Shapes of the refit tables build_dynamic_tables emits — so a graph
+    can declare them as resources (the refit runs as its OWN pass/program;
+    fusing it into the frame program faults the TPU worker at scale,
+    PERFORMANCE.md round 3)."""
+    topo = _static_topology(grid)
+    v = grid ** 3
+    ls = MAX_TRIS_PER_VOXEL
+    n_wide = topo["wide_refs"].shape[0]
+    return {
+        "mc_wnode": (n_wide, 7 * WIDE_WIDTH),
+        "mc_node": (2 * v - 1, 8),
+        "mc_leaf": (v, 10 * ls),
+        "mc_tri_normals": (ls * v, 9),
+    }
+
+
+def build_dynamic_tables(mc_result, grid: int) -> dict[str, jax.Array]:
+    """Device refit: MC output -> traversal tables (see build_dynamic_scene
+    docstring for the design). Returns the arrays named by table_shapes."""
+    scene = build_dynamic_scene(mc_result, grid, 0)
+    return {
+        "mc_wnode": scene.bvh.wnode_packed,
+        "mc_node": scene.bvh.node_packed,
+        "mc_leaf": scene.bvh.leaf_packed,
+        "mc_tri_normals": scene.normals_rows,
+    }
+
+
+def dynamic_scene_from_tables(tables, grid: int, material_id) -> DynamicScene:
+    """Reassemble a DynamicScene from refit tables carried as graph
+    resources. Only the fields the packet traversals read are real
+    (wnode_packed / node_packed / leaf_packed + the static-topology columns
+    and depths); box/leaf component arrays are placeholders."""
+    topo = _static_topology(grid)
+    ls = MAX_TRIS_PER_VOXEL
+    zeros3 = jnp.zeros((1, 3), jnp.float32)
+    dyn_bvh = BVH(
+        node_min=zeros3,
+        node_max=zeros3,
+        node_miss=jnp.asarray(topo["miss_pre"]),
+        node_leaf=jnp.asarray(topo["leaf_pre"]),
+        leaf_tris=jnp.zeros((1, ls), jnp.int32),
+        leaf_v0=jnp.zeros((1, ls, 3)),
+        leaf_e1=jnp.zeros((1, ls, 3)),
+        leaf_e2=jnp.zeros((1, ls, 3)),
+        node_packed=tables["mc_node"],
+        leaf_packed=tables["mc_leaf"],
+        wnode_packed=tables["mc_wnode"],
+        max_depth=int(topo["bin_depth"]),
+        wide_depth=int(topo["wide_depth"]),
+    )
+    return DynamicScene(
+        bvh=dyn_bvh,
+        normals_rows=tables["mc_tri_normals"],
+        material=jnp.asarray(material_id, jnp.int32),
+    )
+
+
 def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
     """Refit the static-topology tree to this frame's MC output (device).
 

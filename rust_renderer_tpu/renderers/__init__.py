@@ -173,13 +173,16 @@ def build_path_tracing_render_graph(
     mc_reads: tuple[str, ...] = ()
     if marching_cubes_enabled:
         from rust_renderer_tpu.ops import marching_cubes as mc_ops
+        from rust_renderer_tpu.ops import mc_bvh
 
         v5 = cfg.mc_grid ** 3 * mc_ops.MAX_TRIS_PER_VOXEL
         graph.create_buffer("mc_positions", (v5, 3, 3))
         graph.create_buffer("mc_normals", (v5, 3, 3))
         graph.create_buffer("mc_valid", (v5,), dtype=jnp.int32)
         graph.create_buffer("marching_cubes_draw_count", (1,), dtype=jnp.int32)
-        mc_reads = ("mc_positions", "mc_normals", "mc_valid")
+        mc_reads = ("mc_wnode", "mc_node", "mc_leaf", "mc_tri_normals")
+        for tname, tshape in mc_bvh.table_shapes(cfg.mc_grid).items():
+            graph.create_buffer(tname, tshape)
 
         def mc_extract(res, scene, view, u):
             # Fixed [0,32]^3 world domain (the reference's feature region) at
@@ -200,24 +203,45 @@ def build_path_tracing_render_graph(
             .write("mc_positions").write("mc_normals").write("mc_valid")
             .write("marching_cubes_draw_count")
             .render(mc_extract)
+            # Own XLA program (see mc_refit below).
+            .isolate()
             .build()
         )
 
-        def dynamic_fn(res, view):
-            from rust_renderer_tpu.ops import mc_bvh
-            from rust_renderer_tpu.ops.marching_cubes import MarchingCubesResult
-
+        def mc_refit(res, scene, view, u):
             # The runtime toggle empties the tree (boxes invert) without a
             # graph-structure change — mirroring the reference's uniform-flag
             # (not pipeline-permutation) toggles.
             on = view.marching_cubes_enabled == 1
-            result = MarchingCubesResult(
+            result = mc_ops.MarchingCubesResult(
                 positions=res["mc_positions"],
                 normals=res["mc_normals"],
                 valid=jnp.logical_and(res["mc_valid"] > 0, on),
                 vertex_count=jnp.int32(0),
             )
-            return mc_bvh.build_dynamic_scene(result, cfg.mc_grid, mc_material)
+            return mc_bvh.build_dynamic_tables(result, cfg.mc_grid)
+
+        builder = (
+            graph.add_pass("mc_refit")
+            .read("mc_positions").read("mc_normals").read("mc_valid")
+            .render(mc_refit)
+            # Extract and refit each run as their OWN XLA programs, and the
+            # frame passes consume the refit TABLES as resources: fusing
+            # either body (164k-slot elementwise extract; 32^3 heap/level
+            # reductions) into the frame program FAULTS the TPU worker
+            # (round-3 bisect: each stage alone is fine at any grid, fused
+            # combinations crash at grid 32, the full frame even at 16 —
+            # PERFORMANCE.md "giant-program TPU faults").
+            .isolate()
+        )
+        for tname in mc_reads:
+            builder.write(tname)
+        builder.build()
+
+        def dynamic_fn(res, view):
+            return mc_bvh.dynamic_scene_from_tables(
+                {k: res[k] for k in mc_reads}, cfg.mc_grid, mc_material
+            )
 
     # 1. gbuffer (hit positions for the ReSTIR passes, mod.rs:246-254).
     setup_gbuffer_pass(graph, scene_bvh, w, h, dynamic_fn=dynamic_fn,
