@@ -43,11 +43,6 @@ def run_workload(metric: str, scene_fn, width: int, height: int,
         width=width, height=height, samples_per_frame=1, num_bounces=bounces,
         sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
         irradiance_size=32, brdf_lut_size=128,
-        # mc_grid 16 on TPU: the 32^3 refit+traverse program faults the TPU
-        # worker regardless of kernel path (round-3 bisect, PERFORMANCE.md
-        # "giant-program TPU faults") — same [0,32]^3 world domain, halved
-        # tessellation, until the worker issue is isolated.
-        mc_grid=16,
     )
     app = Application(width, height, RenderGraphMode.PATH_TRACED, cfg)
     app.create_scene(scene_fn)

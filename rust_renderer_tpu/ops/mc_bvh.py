@@ -241,10 +241,26 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
     )
 
     # -- leaf boxes (tight over emitted vertices; empty cells inverted).
+    # Inverted boxes are correct for the UNION reductions below (min/+BIG,
+    # max/-BIG are identities) but must NEVER reach a packed table: the
+    # slab test normalizes each axis interval with min/max, so an inverted
+    # box tests as COVERING EVERYTHING — every packet walked the entire
+    # 4.4k-node tree and the dyn kernels ran ~1.1 s/front at 512²
+    # (round-3 profile). _depoison rewrites empty boxes as a POINT at
+    # +_BIG at pack time: tnear lands at ~+3e25 > any best_t, so no ray
+    # enters, and the point cannot stretch a parent union (parents are
+    # reduced from the inverted form).
     flat = pos.reshape(v, ls * 3, 3)
     vmask = jnp.repeat(valid, 3, axis=1)[..., None]  # (V, 15, 1)
     lmin = jnp.min(jnp.where(vmask, flat, _BIG), axis=1)  # (V, 3)
     lmax = jnp.max(jnp.where(vmask, flat, -_BIG), axis=1)
+
+    def _depoison(bmin, bmax):
+        empty = jnp.any(bmin > bmax, axis=-1, keepdims=True)
+        return (
+            jnp.where(empty, _BIG, bmin),
+            jnp.where(empty, _BIG, bmax),
+        )
 
     morton = jnp.asarray(topo["morton_cells"])
     bmin = lmin[morton]  # static permutation (small)
@@ -269,8 +285,10 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
         gmax = prev_max.reshape(n, WIDE_WIDTH, 3)
         mins.append(gmin.min(axis=1))
         maxs.append(gmax.max(axis=1))
-        # Box row of the level-li node = its children's boxes.
-        row = jnp.concatenate([gmin, gmax], axis=-1)  # (n, 16, 6)
+        # Box row of the level-li node = its children's boxes (empty
+        # children depoisoned to unhittable point-boxes, see above).
+        pmin, pmax = _depoison(gmin, gmax)
+        row = jnp.concatenate([pmin, pmax], axis=-1)  # (n, 16, 6)
         if li == 1:
             level_rows = {1: row}
         else:
@@ -298,13 +316,14 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
     heap_min = jnp.concatenate(hmins[::-1], axis=0)  # heap index h -> row h-1
     heap_max = jnp.concatenate(hmaxs[::-1], axis=0)
     pre = jnp.asarray(topo["pre2heap"] - 1, jnp.int32)
+    pre_min, pre_max = _depoison(heap_min[pre], heap_max[pre])
     node_packed = jnp.concatenate(
-        [heap_min[pre], heap_max[pre], jnp.asarray(topo["bin_cols"])], axis=1
+        [pre_min, pre_max, jnp.asarray(topo["bin_cols"])], axis=1
     )
 
     dyn_bvh = BVH(
-        node_min=heap_min[pre],
-        node_max=heap_max[pre],
+        node_min=pre_min,
+        node_max=pre_max,
         node_miss=jnp.asarray(topo["miss_pre"]),
         node_leaf=jnp.asarray(topo["leaf_pre"]),
         leaf_tris=ids,

@@ -225,13 +225,12 @@ def build_path_tracing_render_graph(
             graph.add_pass("mc_refit")
             .read("mc_positions").read("mc_normals").read("mc_valid")
             .render(mc_refit)
-            # Extract and refit each run as their OWN XLA programs, and the
-            # frame passes consume the refit TABLES as resources: fusing
-            # either body (164k-slot elementwise extract; 32^3 heap/level
-            # reductions) into the frame program FAULTS the TPU worker
-            # (round-3 bisect: each stage alone is fine at any grid, fused
-            # combinations crash at grid 32, the full frame even at 16 —
-            # PERFORMANCE.md "giant-program TPU faults").
+            # Extract and refit run as their OWN XLA programs and the frame
+            # passes consume the refit TABLES as resources: the refit runs
+            # once per frame (it was duplicated inside the gbuffer and
+            # reference_pt bodies), and the 164k-slot extract (a ~90 s
+            # remote compile by itself) stays out of every frame-structure
+            # variant's compile (PERFORMANCE.md round 3).
             .isolate()
         )
         for tname in mc_reads:
