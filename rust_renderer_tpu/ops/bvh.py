@@ -916,7 +916,7 @@ def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
 
 def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     wide: bool = True, ordered: bool = False,
-                    multi: int = 1):
+                    multi: int = 1, dual: bool = False):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -927,7 +927,7 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
 
         return functools.partial(traverse_packet_pallas, wide=wide,
                                  ordered=ordered, dma_leaf=(mode == "dma"),
-                                 multi=multi)
+                                 multi=multi, dual=dual)
     return traverse_packet if packet else traverse
 
 
@@ -960,10 +960,14 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
 
 def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  wide: bool = True, ordered: bool = False):
-    # multi=4: any-hit walks exit early, so the ~45 us/grid-step fixed cost
-    # dominates and multi-block amortization wins (measured 9.6 -> 6.6 ms
-    # primary, 11.7 -> 10.0 divergent at 512² — closest-hit prefers 1).
-    trav = _pick_traversal(bvh, packet, sort, wide, ordered, multi=4)
+    # dual=True: any-hit walks have no best_t culling, so the dual-pop
+    # kernel's two-pops-per-extract latency amortization is a pure win —
+    # 5-10% faster than the previous multi=4 interleaving on every real
+    # captured NEE front (tools/bench_fronts.py round 3: b0 20.7 -> 18.6,
+    # b1 65.4 -> 59.8, b4 46.1 -> 43.6 ms). Closest-hit keeps single-pop:
+    # the pair-pop's breadth creep delays best_t tightening and measured
+    # 5-8% MORE expensive there even with DFS-preserving push order.
+    trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True)
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)

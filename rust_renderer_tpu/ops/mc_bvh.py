@@ -351,9 +351,12 @@ def _dyn_traverse(dyn: DynamicScene, origin, direction, t_min, t_max,
     if mode != "none":
         from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
+        # dual=True on any-hit only: same tradeoff as ops/bvh.py's
+        # make_any_hit (two stack pops share one vector->scalar extract;
+        # closest-hit prefers strict DFS order).
         return traverse_packet_pallas(
             dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit,
-            wide=True, dma_leaf=(mode == "dma"),
+            wide=True, dma_leaf=(mode == "dma"), dual=any_hit,
         )
     return bvh_ops.traverse_packet(
         dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit

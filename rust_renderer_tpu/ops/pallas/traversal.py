@@ -35,7 +35,7 @@ PACKET = 1024  # rays per block: (8, 128) f32 registers per component
 
 
 def _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
-                ox, oy, oz, dx, dy, dz, t_min, args):
+                ox, oy, oz, dx, dy, dz, t_min, args, valid=None):
     """Test all leaf_size triangles of one leaf row against the packet.
 
     The slot tests are INDEPENDENT — each runs against the leaf-ENTRY best_t
@@ -48,14 +48,17 @@ def _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
     """
     lrow = leaf_ref[jnp.maximum(leaf, 0)]
     return _leaf_tests_from_row(lrow, leaf_size, any_hit,
-                                ox, oy, oz, dx, dy, dz, t_min, args)
+                                ox, oy, oz, dx, dy, dz, t_min, args,
+                                valid=valid)
 
 
 def _leaf_tests_from_row(lrow, leaf_size, any_hit,
-                         ox, oy, oz, dx, dy, dz, t_min, args):
+                         ox, oy, oz, dx, dy, dz, t_min, args, valid=None):
     best_t, best_prim, best_u, best_v, done = args
     lrow_i = jax.lax.bitcast_convert_type(lrow, jnp.int32)
     alive = done == 0
+    if valid is not None:  # scalar: masked-off slot of a leaf-queue flush
+        alive = jnp.logical_and(alive, valid)
     cands = []
     for s in range(leaf_size):
         base = s * 9
@@ -552,6 +555,416 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool,
     return kernel
 
 
+def _make_kernel_wide_lq(leaf_size: int, any_hit: bool, flush_k: int,
+                         dma_leaf: bool = False):
+    """Wide stack traversal with a deferred LEAF QUEUE.
+
+    The round-2 bisect priced a leaf pop at ~2-3 us against ~124 ns for an
+    internal pop — the cost is the lax.cond branch context, not the
+    triangle math. Here the stack holds ONLY internal refs: a popped node's
+    leaf children append to an SMEM queue instead, and once `flush_k` rows
+    are queued (or the stack runs dry) ONE cond branch tests all of them
+    back-to-back — the branch context is paid once per `flush_k` leaf rows,
+    and the main loop body becomes straight-line code with no per-iteration
+    branch at all. Deferral means up to flush_k-1 leaf rows are tested
+    later than strict DFS order would — best_t tightens a little later
+    (slightly more pushes) and closest-hit tie-breaking order changes
+    (identical-t duplicates may resolve differently; hit results are
+    otherwise exact).
+    """
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, *rest):
+        n_scratch = 4 if dma_leaf else 2
+        stack_ref, queue_ref = rest[-n_scratch], rest[-n_scratch + 1]
+        if dma_leaf:
+            rowbuf_ref, dma_sem = rest[-2], rest[-1]
+        stats_out = rest[0] if len(rest) == n_scratch + 1 else None
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        def leaf_tests(leaf, valid, args):
+            if dma_leaf:
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
+                    rowbuf_ref, dma_sem,
+                )
+                dma.start()
+                dma.wait()
+                return _leaf_tests_from_row(
+                    rowbuf_ref[0], leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args, valid=valid,
+                )
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox, oy, oz, dx, dy, dz, t_min, args,
+                               valid=valid)
+
+        stack_ref[0] = jnp.int32(0)
+        queue_ref[0] = jnp.int32(0)
+        zero_i = jnp.int32(0)
+
+        def cond(state):
+            return jnp.logical_or(state[0] > 0, state[1] > 0)
+
+        def body(state):
+            (sp, qn, best_t, best_prim, best_u, best_v, done, pops,
+             leaf_pops) = state
+            # Unconditional pop-and-expand: the stack never holds leaves,
+            # so there is no is_leaf dispatch. A drained stack (queue
+            # drain tail) expands the root with its mask forced to zero.
+            active = sp > 0
+            ref = jnp.where(active, stack_ref[jnp.maximum(sp - 1, 0)],
+                            zero_i)
+            sp = jnp.maximum(sp - 1, 0)
+            pops = pops + active.astype(jnp.int32)
+
+            row = node_ref[jnp.maximum(ref, 0)]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            not_done = done == 0
+            children = []
+            packed = jnp.zeros((8, 128), jnp.int32)
+            for c in range(W):
+                tx0 = (row[c] - ox) * ix
+                ty0 = (row[W + c] - oy) * iy
+                tz0 = (row[2 * W + c] - oz) * iz
+                tx1 = (row[3 * W + c] - ox) * ix
+                ty1 = (row[4 * W + c] - oy) * iy
+                tz1 = (row[5 * W + c] - oz) * iz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                hit = (
+                    (tfar >= jnp.maximum(tnear, t_min))
+                    & (tnear <= best_t)
+                    & not_done
+                )
+                packed = packed | (hit.astype(jnp.int32) << c)
+                children.append(row_i[6 * W + c])
+            for s in (1, 2, 4):
+                packed = packed | pltpu.roll(packed, s, axis=0)
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                packed = packed | pltpu.roll(packed, s, axis=1)
+            word = packed[0, 0]
+            empty_bits = jnp.int32(0)
+            for c in range(W):
+                empty_bits = empty_bits | (
+                    (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
+                )
+            mask = jnp.where(active, word & ~empty_bits, 0)
+
+            for c in range(W):
+                bit = (mask >> c) & 1
+                is_leaf_c = children[c] < 0
+                leaf_bit = bit * is_leaf_c.astype(jnp.int32)
+                int_bit = bit - leaf_bit
+
+                @pl.when(leaf_bit == 1)
+                def _(row_idx=-2 - children[c], at=qn):
+                    queue_ref[at] = row_idx
+
+                qn = qn + leaf_bit
+
+                @pl.when(int_bit == 1)
+                def _(child=children[c], at=sp):
+                    stack_ref[at] = child
+
+                sp = sp + int_bit
+
+            # Flush processes up to W rows per trigger (one pop can append
+            # up to W, so a smaller batch would let the queue grow without
+            # bound); flush_k only sets the trigger threshold.
+            do_flush = jnp.logical_or(
+                qn >= flush_k, jnp.logical_and(sp == 0, qn > 0)
+            )
+            n_take = jnp.minimum(qn, W)
+            leaf_pops = leaf_pops + jnp.where(do_flush, n_take, 0)
+
+            def flush(args):
+                for k in range(W):
+                    valid = k < n_take
+                    row_idx = queue_ref[jnp.maximum(qn - 1 - k, 0)]
+                    args = leaf_tests(row_idx, valid, args)
+                if any_hit:
+                    alive_v = (args[4] == 0).astype(jnp.int32)
+                    for s in (1, 2, 4):
+                        alive_v = alive_v | pltpu.roll(alive_v, s, axis=0)
+                    for s in (1, 2, 4, 8, 16, 32, 64):
+                        alive_v = alive_v | pltpu.roll(alive_v, s, axis=1)
+                    return args + (alive_v[0, 0],)
+                return args + (jnp.int32(1),)
+
+            bests = (best_t, best_prim, best_u, best_v, done)
+            res = jax.lax.cond(do_flush, flush,
+                               lambda a: a + (jnp.int32(1),), bests)
+            best_t, best_prim, best_u, best_v, done = res[:5]
+            qn = jnp.where(do_flush, qn - n_take, qn)
+            if any_hit:
+                all_done = res[5] == 0
+                sp = jnp.where(all_done, 0, sp)
+                qn = jnp.where(all_done, 0, qn)
+            return (sp, qn, best_t, best_prim, best_u, best_v, done, pops,
+                    leaf_pops)
+
+        init = (
+            jnp.int32(1),
+            jnp.int32(0),
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+            jnp.int32(0),
+            jnp.int32(0),
+        )
+        (sp, qn, best_t, best_prim, best_u, best_v, done, pops,
+         leaf_pops) = jax.lax.while_loop(cond, body, init)
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+        if stats_out is not None:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            stats_out[0] = jnp.where(rid == 0, pops, leaf_pops)
+
+    return kernel
+
+
+def _make_kernel_wide_dual(leaf_size: int, any_hit: bool,
+                           dma_leaf: bool = False):
+    """BVH-wide stack traversal popping TWO nodes per iteration.
+
+    The wide walk is latency-bound on its one vector->scalar extract per
+    iteration (~0.87 us against ~0.12 us of vector work; PERFORMANCE.md
+    round-3 while16 probe). The multi-block kernel amortized that latency
+    across independent ray blocks but lost on real fronts to cross-block
+    tail waste (blocks finish at different times) — here both pops come
+    from the SAME stack serving the SAME front, so there is no tail: the
+    two 16-bit child masks are shifted into disjoint halves of ONE 32-bit
+    word and the pair shares a single OR-tree + extract. When the stack
+    holds only one entry the second slot expands the root with its mask
+    forced to zero (wasted vector work, no correctness effect). A leaf
+    pop's any-lane-alive bit rides in bit 0 of its half-word (the mask
+    bits are unused on leaf pops), so any-hit leaf pops no longer pay
+    their own private reduction either.
+
+    Traversal ORDER differs from the single-pop kernel (the second node is
+    popped before the first one's children are pushed) but the visited set
+    is identical and closest-hit results are exact; the second node's box
+    tests read best_t as updated by the first node's leaf tests — pure
+    vector dataflow, so the extra culling is free.
+    """
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
+    assert 2 * W <= 32, "dual-pop packs two child masks into one int32"
+    half_mask = (1 << W) - 1
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, *rest):
+        n_scratch = 3 if dma_leaf else 1
+        stack_ref = rest[-n_scratch]
+        if dma_leaf:
+            rowbuf_ref, dma_sem = rest[-2], rest[-1]
+        stats_out = rest[0] if len(rest) == n_scratch + 1 else None
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        def leaf_tests(leaf, args):
+            if dma_leaf:
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
+                    rowbuf_ref, dma_sem,
+                )
+                dma.start()
+                dma.wait()
+                return _leaf_tests_from_row(
+                    rowbuf_ref[0], leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                )
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox, oy, oz, dx, dy, dz, t_min, args)
+
+        stack_ref[0] = jnp.int32(0)
+        zero_i = jnp.int32(0)
+        zero_v = jnp.zeros((8, 128), jnp.int32)
+
+        def process(ref, bests):
+            """Expand one popped ref. Returns (bests, halfvec, children,
+            empty_bits): halfvec is the un-reduced (8,128) bit vector —
+            child mask for internal pops, the alive flag in bit 0 for
+            any-hit leaf pops."""
+            is_leaf = ref < 0
+
+            def do_leaf(args):
+                out = leaf_tests(-2 - ref, args)
+                if any_hit:
+                    halfvec = (out[4] == 0).astype(jnp.int32)
+                else:
+                    halfvec = zero_v
+                return out + (halfvec, *(zero_i,) * (W + 1))
+
+            def do_internal(args):
+                best_t, best_prim, best_u, best_v, done = args
+                row = node_ref[jnp.maximum(ref, 0)]
+                row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                not_done = done == 0
+                children = []
+                packed = zero_v
+                for c in range(W):
+                    tx0 = (row[c] - ox) * ix
+                    ty0 = (row[W + c] - oy) * iy
+                    tz0 = (row[2 * W + c] - oz) * iz
+                    tx1 = (row[3 * W + c] - ox) * ix
+                    ty1 = (row[4 * W + c] - oy) * iy
+                    tz1 = (row[5 * W + c] - oz) * iz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    hit = (
+                        (tfar >= jnp.maximum(tnear, t_min))
+                        & (tnear <= best_t)
+                        & not_done
+                    )
+                    packed = packed | (hit.astype(jnp.int32) << c)
+                    children.append(row_i[6 * W + c])
+                empty_bits = jnp.int32(0)
+                for c in range(W):
+                    empty_bits = empty_bits | (
+                        (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
+                    )
+                return (best_t, best_prim, best_u, best_v, done,
+                        packed, *children, empty_bits)
+
+            res = jax.lax.cond(is_leaf, do_leaf, do_internal, bests)
+            return (res[:5], res[5], list(res[6:6 + W]), res[6 + W],
+                    is_leaf)
+
+        def cond(state):
+            return state[0] > 0
+
+        def body(state):
+            (sp, best_t, best_prim, best_u, best_v, done, iters,
+             leaf_pops) = state
+            ref_a = stack_ref[sp - 1]
+            has_b = (sp >= 2).astype(jnp.int32)
+            # An absent second pop expands the root with its mask zeroed
+            # below — never a junk leaf index.
+            ref_b = jnp.where(has_b == 1,
+                              stack_ref[jnp.maximum(sp - 2, 0)], zero_i)
+            sp = sp - 1 - has_b
+
+            bests = (best_t, best_prim, best_u, best_v, done)
+            bests, half_a, children_a, empty_a, leaf_a = process(ref_a, bests)
+            bests, half_b, children_b, empty_b, leaf_b = process(ref_b, bests)
+            best_t, best_prim, best_u, best_v, done = bests
+            iters = iters + 1 + has_b
+            leaf_pops = (leaf_pops + leaf_a.astype(jnp.int32)
+                         + jnp.logical_and(leaf_b, has_b == 1).astype(jnp.int32))
+
+            combined = half_a | (half_b << W)
+            for s in (1, 2, 4):
+                combined = combined | pltpu.roll(combined, s, axis=0)
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                combined = combined | pltpu.roll(combined, s, axis=1)
+            word = combined[0, 0]
+            w_a = word & half_mask
+            w_b = (word >> W) & half_mask
+            mask_a = jnp.where(leaf_a, 0, w_a & ~empty_a)
+            mask_b = jnp.where(jnp.logical_or(leaf_b, has_b == 0),
+                               0, w_b & ~empty_b)
+
+            # B's children go on the stack FIRST so A's children end on
+            # top: the next pair then keeps descending A's subtree, which
+            # preserves the single-pop kernel's near-DFS order (leaves
+            # reached early, best_t tightens early). The A-first order
+            # measured 8-16% MORE pops on closest-hit fronts (breadth
+            # creep into the older subtree).
+            for c in range(W):
+                bit = (mask_b >> c) & 1
+
+                @pl.when(bit == 1)
+                def _(child=children_b[c], at=sp):
+                    stack_ref[at] = child
+
+                sp = sp + bit
+            for c in range(W):
+                bit = (mask_a >> c) & 1
+
+                @pl.when(bit == 1)
+                def _(child=children_a[c], at=sp):
+                    stack_ref[at] = child
+
+                sp = sp + bit
+
+            if any_hit:
+                dead_a = jnp.logical_and(leaf_a, (w_a & 1) == 0)
+                dead_b = jnp.logical_and(
+                    jnp.logical_and(leaf_b, has_b == 1), (w_b & 1) == 0
+                )
+                sp = jnp.where(jnp.logical_or(dead_a, dead_b), 0, sp)
+            return (sp, best_t, best_prim, best_u, best_v, done, iters,
+                    leaf_pops)
+
+        init = (
+            jnp.int32(1),
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+            jnp.int32(0),  # pops (both slots count)
+            jnp.int32(0),
+        )
+        (sp, best_t, best_prim, best_u, best_v, done, iters,
+         leaf_pops) = jax.lax.while_loop(cond, body, init)
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+        if stats_out is not None:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            stats_out[0] = jnp.where(rid == 0, iters, leaf_pops)
+
+    return kernel
+
+
 def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
                             dma_leaf: bool = False):
     """BVH8 stack traversal with NBLOCKS independent ray blocks co-resident
@@ -776,12 +1189,12 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
     jax.jit,
     static_argnames=(
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
-        "multi", "dma_leaf",
+        "multi", "dma_leaf", "dual", "leaf_queue",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
-         dma_leaf=False):
+         dma_leaf=False, dual=False, leaf_queue=0):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -819,6 +1232,17 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         kernel = _make_kernel_wide_multi(leaf_size, any_hit, nb,
                                          dma_leaf=dma_leaf)
         scratch = [pltpu.SMEM((nb, stack_size), jnp.int32)] + dma_scratch
+    elif wide and leaf_queue > 0 and not ordered:
+        kernel = _make_kernel_wide_lq(leaf_size, any_hit, leaf_queue,
+                                      dma_leaf=dma_leaf)
+        scratch = [
+            pltpu.SMEM((stack_size,), jnp.int32),
+            pltpu.SMEM((leaf_queue + 24,), jnp.int32),
+        ] + dma_scratch
+    elif wide and dual and not ordered:
+        kernel = _make_kernel_wide_dual(leaf_size, any_hit,
+                                        dma_leaf=dma_leaf)
+        scratch = [pltpu.SMEM((stack_size,), jnp.int32)] + dma_scratch
     elif wide:
         kernel = _make_kernel_wide(leaf_size, any_hit, ordered,
                                    dma_leaf=dma_leaf)
@@ -843,7 +1267,9 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
 def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            any_hit: bool = False, tile: int = 32,
                            ordered: bool = False, wide: bool = True,
-                           multi: int = 1, dma_leaf: bool = False):
+                           multi: int = 1, dma_leaf: bool = False,
+                           dual: bool = False, stats: bool = False,
+                           leaf_queue: int = 0):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -902,6 +1328,10 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         stack_size = max(
             (WIDE_WIDTH - 1) * int(bvh.wide_depth) + 2 * WIDE_WIDTH, 48
         )
+        if dual:
+            # Two expansions per iteration can defer siblings from two
+            # nodes at the same level.
+            stack_size *= 2
         node_table = bvh.wnode_packed
         leaf_table = leaf_packed
     else:
@@ -914,8 +1344,14 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     while nb > 1 and o.shape[0] % nb:
         nb //= 2
     assert not (dma_leaf and not wide), "dma_leaf requires the wide kernel"
-    t, prim, u, v = _run(
+    out = _run(
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
         stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,
+        dual=dual, stats=stats, leaf_queue=leaf_queue,
     )
+    if stats:
+        t, prim, u, v, st = out
+        # per-block diagnostics: row 0 = pops, row 1 = leaf pops
+        return unpack(t), unpack(prim), unpack(u), unpack(v), st
+    t, prim, u, v = out
     return unpack(t), unpack(prim), unpack(u), unpack(v)

@@ -105,6 +105,76 @@ def test_pallas_wide_degenerate_and_tmax():
     assert np.all(np.asarray(p1)[::3] == -1)
 
 
+def test_pallas_dual_pop_matches():
+    """The dual-pop kernel (two stack pops share one vector->scalar
+    extract) is exact vs the XLA packet walk, closest and any-hit,
+    including degenerate lanes and per-ray t_max."""
+    b = _soup_bvh(seed=17)
+    o, d = _rays(seed=18)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, dual=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+    d = d.at[::4].set(0.0)
+    tmax = jnp.full(o.shape[0], 3.0)
+    ta, pa, _, _ = _pallas_traverse(b, o, d, t_max=tmax, any_hit=True,
+                                    dual=True)
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, t_max=tmax, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+    assert np.all(np.asarray(pa)[::4] == -1)
+
+
+def test_pallas_dual_pop_dma_leaf_matches():
+    b = _soup_bvh(seed=19)
+    o, d = _rays(seed=20)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, dual=True, dma_leaf=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+
+
+def test_pallas_leaf_queue_matches():
+    """The leaf-queue kernel (leaf children deferred to an SMEM queue,
+    flushed up to W rows per cond branch) is exact vs the XLA packet walk.
+
+    Interpret mode re-walks the unrolled flush jaxpr every while
+    iteration (minutes per call on this host; the any-hit variant is
+    slower still), so the default-suite case is a tiny closest-only soup;
+    any-hit / flush-size sweep / DMA coverage runs on TPU only."""
+    b = _soup_bvh(n=24, seed=23)
+    o, d = _rays(seed=24)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, leaf_queue=4)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_pallas_leaf_queue_sweep_tpu():
+    """Any-hit + flush-size sweep + DMA-leaf lq coverage — native TPU only
+    (interpret-mode evaluation of the flush jaxpr is pathologically slow;
+    the kernel itself was verified exact on TPU)."""
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("lq any-hit/sweep coverage needs the native TPU backend")
+    b = _soup_bvh(n=60, seed=25)
+    o, d = _rays(seed=26)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    for k in (1, 8):
+        t1, p1, _, _ = _pallas_traverse(b, o, d, leaf_queue=k)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    t1, p1, _, _ = _pallas_traverse(b, o, d, leaf_queue=4, dma_leaf=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, leaf_queue=4)
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+
+
 def test_pallas_multi_block_matches():
     """The latency-interleaved kernel (multi ray blocks per grid step) is
     exact vs the XLA packet walk at every interleave width."""

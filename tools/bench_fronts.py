@@ -159,11 +159,36 @@ def main():
     ap.add_argument("size", type=int, nargs="?", default=512)
     ap.add_argument("--variants", default="prod,multi4,multi8,ordered,compact")
     ap.add_argument("--bounces", type=int, default=5)
+    ap.add_argument("--stats", action="store_true",
+                    help="report per-block pop / leaf-pop counts instead of "
+                         "timings (single-pop wide vs dual-pop)")
     args = ap.parse_args()
     n = args.size
 
     bvh, closest_fronts, nee_fronts = capture_fronts(n, args.bounces)
     variants = args.variants.split(",")
+
+    if args.stats:
+        def pops(o, d, tmin, tmax, any_hit, dual):
+            out = traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                         any_hit=any_hit, dual=dual,
+                                         stats=True)
+            st = np.asarray(out[4])
+            return float(st[:, 0, 0].mean()), float(st[:, 1, 0].mean())
+
+        print(f"== per-block pops (mean over blocks, {n}x{n}) ==")
+        print("front        single(pops/leaf)      dual(pops/leaf)")
+        for b, (o, d, frac) in enumerate(closest_fronts):
+            s = pops(o, d, 1e-3, 1e4, False, False)
+            du = pops(o, d, 1e-3, 1e4, False, True)
+            print(f"closest b{b} {frac*100:5.1f}% {s[0]:8.1f}/{s[1]:7.1f} "
+                  f"{du[0]:8.1f}/{du[1]:7.1f}", flush=True)
+        for b, (o2, d2, tmax2, frac) in enumerate(nee_fronts):
+            s = pops(o2, d2, 1e-3, tmax2, True, False)
+            du = pops(o2, d2, 1e-3, tmax2, True, True)
+            print(f"anyhit  b{b} {frac*100:5.1f}% {s[0]:8.1f}/{s[1]:7.1f} "
+                  f"{du[0]:8.1f}/{du[1]:7.1f}", flush=True)
+        return
 
     def run_variant(v, o, d, tmin, tmax, any_hit):
         if v == "prod":
@@ -174,6 +199,13 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           multi=int(v[5:]))
+        if v == "dual":
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit, dual=True)
+        if v.startswith("lq"):
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit,
+                                          leaf_queue=int(v[2:]))
         if v == "ordered":
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit, ordered=True)
