@@ -324,13 +324,148 @@ def _collapse_small_subtrees(node_min, node_max, miss, node_leaf, leaf_arr,
     )
 
 
+def _presplit_refs(positions: np.ndarray, indices: np.ndarray,
+                   budget_ratio: float = 1.4, rounds: int = 8):
+    """SBVH-style reference pre-splitting (host, numpy, vectorized rounds).
+
+    Large triangles (architectural walls/floors) force sibling boxes to
+    overlap, and overlapped siblings are what turn packet walks into
+    near-full union walks. Instead of spatial splits inside the builder
+    (a large C++ rewrite with polygon bookkeeping), split the REFERENCES
+    before the build: a big triangle becomes several (clipped-AABB,
+    same-tri-id) fragments. The build then partitions fragments; leaf rows
+    store the ORIGINAL full-triangle geometry, so a hit through any
+    fragment is exact and duplicates are harmless (same t/u/v; the strict
+    best_t keeps the first). This is the standard SBVH correctness
+    argument (Stich et al. 2009) applied at the input layer.
+
+    Per round: the largest-area refs (while the `budget_ratio`*T budget
+    lasts) split at the midpoint of their box's longest axis. Each side's
+    box = AABB of the full triangle clipped at the plane (verts on that
+    side + the two edge-plane intersections), intersected with that half
+    of the ref's box — tight for the axis-aligned geometry that matters,
+    conservative otherwise. Empty sides are dropped (pure tightening).
+
+    Returns (ref_lo, ref_hi, ref_tri): fragment boxes + original tri ids.
+    """
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    tri_lo = np.minimum(np.minimum(v0, v1), v2)
+    tri_hi = np.maximum(np.maximum(v0, v1), v2)
+    n = len(indices)
+    ref_lo, ref_hi = tri_lo.copy(), tri_hi.copy()
+    ref_tri = np.arange(n, dtype=np.int64)
+    max_refs = int(budget_ratio * n)
+
+    def half_area(lo, hi):
+        ext = (hi - lo).astype(np.float64)
+        return ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+
+    for _ in range(rounds):
+        room = max_refs - len(ref_tri)
+        if room <= 0:
+            break
+        area = half_area(ref_lo, ref_hi)
+        # Scene pools carry FLT_MAX sentinel padding triangles — their
+        # "boxes" must neither be split nor pollute the area statistics.
+        real = (np.abs(ref_lo).max(axis=1) < 1e30) & (
+            np.abs(ref_hi).max(axis=1) < 1e30)
+        if not real.any():
+            break
+        mean = area[real].mean()
+        # Split only extreme area OUTLIERS (monster ground planes / walls
+        # from imported assets), iterating until their fragments reach
+        # locally-normal size. Splitting ordinary geometry measured ~45%
+        # WORSE on the atrium (duplicate leaf work, no overlap win) —
+        # tools/eval_tree.py, PERFORMANCE.md round 3.
+        cand = np.nonzero(real & (area > 16.0 * mean))[0]
+        if len(cand) == 0:
+            break
+        if len(cand) > room:
+            cand = cand[np.argpartition(-area[cand], room - 1)[:room]]
+        t = ref_tri[cand]
+        lo_c, hi_c = ref_lo[cand], ref_hi[cand]
+        axis = np.argmax(hi_c - lo_c, axis=1)
+        ar = np.arange(len(cand))
+        p = 0.5 * (lo_c[ar, axis] + hi_c[ar, axis])
+
+        verts = np.stack([v0[t], v1[t], v2[t]], axis=1)  # (C, 3, 3)
+        vax = np.take_along_axis(
+            verts, axis[:, None, None], axis=2
+        )[:, :, 0]  # (C, 3) vertex coords on each ref's split axis
+        # Edge-plane intersections for edges (0,1),(1,2),(2,0).
+        e_from = verts
+        e_to = verts[:, [1, 2, 0]]
+        a_from = vax
+        a_to = vax[:, [1, 2, 0]]
+        cross = (a_from - p[:, None]) * (a_to - p[:, None]) < 0.0
+        denom = a_to - a_from
+        tt = np.where(np.abs(denom) > 1e-30, (p[:, None] - a_from) / denom, 0.0)
+        ipts = e_from + tt[..., None] * (e_to - e_from)  # (C, 3, 3)
+
+        big = np.float32(3e38)
+
+        def side_box(keep_vert, clamp_lo_ax, clamp_hi_ax):
+            # candidates: kept verts + crossing-edge intersections
+            cand_pts = np.concatenate([verts, ipts], axis=1)  # (C, 6, 3)
+            cand_ok = np.concatenate([keep_vert, cross], axis=1)  # (C, 6)
+            okm = cand_ok[..., None]
+            lo = np.where(okm, cand_pts, big).min(axis=1)
+            hi = np.where(okm, cand_pts, -big).max(axis=1)
+            lo = np.maximum(lo, lo_c)
+            hi = np.minimum(hi, hi_c)
+            # restrict the split axis to this half of the ref box
+            lo_ax = np.maximum(lo[ar, axis], clamp_lo_ax)
+            hi_ax = np.minimum(hi[ar, axis], clamp_hi_ax)
+            lo[ar, axis] = lo_ax
+            hi[ar, axis] = hi_ax
+            valid = np.all(hi >= lo, axis=1) & cand_ok.any(axis=1)
+            return lo.astype(np.float32), hi.astype(np.float32), valid
+
+        l_lo, l_hi, l_ok = side_box(vax <= p[:, None], lo_c[ar, axis], p)
+        r_lo, r_hi, r_ok = side_box(vax >= p[:, None], p, hi_c[ar, axis])
+        # A side that is empty is dropped; if both are somehow empty keep
+        # the original ref untouched (degenerate numerical case).
+        both_dead = ~l_ok & ~r_ok
+        l_lo = np.where(both_dead[:, None], lo_c, l_lo)
+        l_hi = np.where(both_dead[:, None], hi_c, l_hi)
+        l_ok = l_ok | both_dead
+
+        keep = np.ones(len(ref_tri), bool)
+        keep[cand] = False
+        ref_lo = np.concatenate([ref_lo[keep], l_lo[l_ok], r_lo[r_ok]])
+        ref_hi = np.concatenate([ref_hi[keep], l_hi[l_ok], r_hi[r_ok]])
+        ref_tri = np.concatenate([ref_tri[keep], t[l_ok], t[r_ok]])
+    return ref_lo, ref_hi, ref_tri
+
+
+def _dedup_leaf_rows(leaf_tris: np.ndarray) -> np.ndarray:
+    """Null out duplicate tri ids within each leaf row (pre-split fragments
+    of one triangle can land in the same leaf). -1 slots stay -1; no
+    compaction needed (slot tests skip tri_id < 0)."""
+    srt = np.sort(leaf_tris, axis=1)
+    dup_vals = np.where(srt[:, 1:] == srt[:, :-1], srt[:, 1:], -2)
+    out = leaf_tris.copy()
+    for r in range(leaf_tris.shape[0]):
+        vals = dup_vals[r][dup_vals[r] >= 0]
+        if len(vals) == 0:
+            continue
+        for v in np.unique(vals):
+            slots = np.nonzero(out[r] == v)[0]
+            out[r, slots[1:]] = -1
+    return out
+
+
 def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_SIZE,
-              use_native: bool = True) -> BVH:
+              use_native: bool = True, presplit_ratio: float = 1.0) -> BVH:
     """Build from (V,3) float32 world positions and (T,3) int32 indices.
 
     Prefers the native binned-SAH builder (native/bvh_builder.cpp — better
     trees, ~100x faster host build); falls back to the numpy Morton-median
-    builder below."""
+    builder below. presplit_ratio > 1 enables SBVH-style reference
+    pre-splitting up to that multiple of the triangle count (_presplit_refs;
+    native path only)."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int64).reshape(-1, 3)
     n_tris = len(indices)
@@ -338,7 +473,23 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
     if use_native and n_tris > 0:
         from rust_renderer_tpu import native
 
-        out = native.build_bvh_sah(positions, indices.astype(np.int32), leaf_size)
+        ref_tri = None
+        if presplit_ratio > 1.0:
+            ref_lo, ref_hi, ref_tri = _presplit_refs(
+                positions, indices, budget_ratio=presplit_ratio
+            )
+            # Feed the builder fake triangles spanning each fragment box
+            # (AABB of [lo, hi, lo] is exactly [lo, hi]; no midpoint
+            # arithmetic — FLT_MAX sentinel rows would overflow to inf and
+            # poison every ancestor box). Real triangle data re-enters at
+            # leaf-pack time via the ref->tri map.
+            fake_pos = np.stack(
+                [ref_lo, ref_hi, ref_lo], axis=1
+            ).reshape(-1, 3).astype(np.float32)
+            fake_idx = np.arange(len(ref_tri) * 3, dtype=np.int32).reshape(-1, 3)
+            out = native.build_bvh_sah(fake_pos, fake_idx, leaf_size)
+        else:
+            out = native.build_bvh_sah(positions, indices.astype(np.int32), leaf_size)
         if out is not None:
             node_min, node_max, node_miss, node_leaf, leaf_tris = out
             node_min, node_max, node_miss, node_leaf, leaf_tris = (
@@ -347,9 +498,13 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
                     leaf_tris.astype(np.int64), leaf_size,
                 )
             )
+            leaf_tris = leaf_tris.astype(np.int64)
+            if ref_tri is not None:
+                leaf_tris = np.where(leaf_tris >= 0, ref_tri[np.maximum(leaf_tris, 0)], -1)
+                leaf_tris = _dedup_leaf_rows(leaf_tris)
             return _finalize(
                 positions, indices, node_min, node_max, node_miss, node_leaf,
-                leaf_tris.astype(np.int64),
+                leaf_tris,
             )
     if n_tris == 0:
         # Degenerate empty BVH: one leaf with no triangles.

@@ -349,7 +349,7 @@ def _make_kernel_ordered(leaf_size: int, any_hit: bool):
 
 
 def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool,
-                      dma_leaf: bool = False):
+                      dma_leaf: bool = False, mask_via_vmem: bool = False):
     """Wide (BVH8) stack traversal: each popped internal node tests its 8
     children against the whole packet from ONE scalar row fetch.
 
@@ -367,6 +367,8 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool,
 
     def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
                t_out, prim_out, u_out, v_out, *rest):
+        rest = list(rest)
+        mvm_ref = rest.pop() if mask_via_vmem else None
         n_scratch = 3 if dma_leaf else 1
         stack_ref = rest[-n_scratch]
         if dma_leaf:
@@ -481,7 +483,15 @@ def _make_kernel_wide(leaf_size: int, any_hit: bool, ordered: bool,
                     packed = packed | pltpu.roll(packed, s, axis=0)
                 for s in (1, 2, 4, 8, 16, 32, 64):
                     packed = packed | pltpu.roll(packed, s, axis=1)
-                mask = packed[0, 0]  # all elements equal after the OR-tree
+                if mask_via_vmem:
+                    # Experiment: route the vector->scalar handoff through
+                    # a VMEM store + scalar load instead of the computed-
+                    # vector extract, probing whether the memory-port sync
+                    # is cheaper than the extract's pipeline drain.
+                    mvm_ref[...] = packed
+                    mask = mvm_ref[0, 0]
+                else:
+                    mask = packed[0, 0]  # all elements equal after the OR-tree
                 empty_bits = jnp.int32(0)
                 for c in range(W):
                     empty_bits = empty_bits | (
@@ -1189,12 +1199,12 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
     jax.jit,
     static_argnames=(
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
-        "multi", "dma_leaf", "dual", "leaf_queue",
+        "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
-         dma_leaf=False, dual=False, leaf_queue=0):
+         dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -1245,8 +1255,11 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         scratch = [pltpu.SMEM((stack_size,), jnp.int32)] + dma_scratch
     elif wide:
         kernel = _make_kernel_wide(leaf_size, any_hit, ordered,
-                                   dma_leaf=dma_leaf)
+                                   dma_leaf=dma_leaf,
+                                   mask_via_vmem=mask_via_vmem)
         scratch = [pltpu.SMEM((stack_size,), jnp.int32)] + dma_scratch
+        if mask_via_vmem:
+            scratch = scratch + [pltpu.VMEM((8, 128), jnp.int32)]
     elif ordered:
         kernel = _make_kernel_ordered(leaf_size, any_hit)
         scratch = [pltpu.SMEM((stack_size,), jnp.int32)]
@@ -1269,7 +1282,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            ordered: bool = False, wide: bool = True,
                            multi: int = 1, dma_leaf: bool = False,
                            dual: bool = False, stats: bool = False,
-                           leaf_queue: int = 0):
+                           leaf_queue: int = 0, mask_via_vmem: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -1348,6 +1361,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
         stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,
         dual=dual, stats=stats, leaf_queue=leaf_queue,
+        mask_via_vmem=mask_via_vmem,
     )
     if stats:
         t, prim, u, v, st = out

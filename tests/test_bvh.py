@@ -142,3 +142,34 @@ def test_empty_bvh():
     o, d = _random_rays(8)
     t, prim, _, _ = jax.jit(lambda o, d: bvhmod.traverse(b, o, d))(o, d)
     assert np.all(np.asarray(prim) == -1)
+
+
+def test_presplit_exact_and_budgeted():
+    """SBVH-style reference pre-splitting (build_bvh presplit_ratio>1) is
+    EXACT: fragment leaves store full original triangles, so hits match the
+    unsplit tree bit-for-bit (duplicates are idempotent under the strict
+    best_t). Big diagonal triangles force actual splits here."""
+    positions, indices = _random_soup(200, 7)
+    walls = np.asarray(
+        [[-50, -2, -50], [50, -2, -48], [0, 3, 80],
+         [-50, 6, -50], [50, 2, -50], [0, 6, 80]], np.float32
+    )
+    positions = np.concatenate([positions, walls])
+    indices = np.concatenate(
+        [indices,
+         (len(positions) - 6 + np.arange(6, dtype=indices.dtype)).reshape(2, 3)]
+    )
+    b0 = bvhmod.build_bvh(positions, indices, leaf_size=12)
+    b1 = bvhmod.build_bvh(positions, indices, leaf_size=12,
+                          presplit_ratio=2.0)
+    assert b1.leaf_tris.shape[0] > b0.leaf_tris.shape[0], "no splits happened"
+    o, d = _random_rays(2048, 8)
+    t0, p0, u0, v0 = bvhmod.traverse_packet(b0, o, d)
+    t1, p1, u1, v1 = bvhmod.traverse_packet(b1, o, d)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    hit = np.asarray(p0) >= 0
+    np.testing.assert_allclose(np.asarray(t0)[hit], np.asarray(t1)[hit],
+                               rtol=1e-6)
+    ta, pa, _, _ = bvhmod.traverse_packet(b0, o, d, any_hit=True)
+    tb, pb, _, _ = bvhmod.traverse_packet(b1, o, d, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)

@@ -206,6 +206,10 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           leaf_queue=int(v[2:]))
+        if v == "mvm":
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit,
+                                          mask_via_vmem=True)
         if v == "ordered":
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit, ordered=True)
