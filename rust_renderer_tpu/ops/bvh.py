@@ -1071,7 +1071,8 @@ def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
 
 def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     wide: bool = True, ordered: bool = False,
-                    multi: int = 1, dual: bool = False):
+                    multi: int = 1, dual: bool = False,
+                    compact_window: int = 0):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -1080,22 +1081,33 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
 
         from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
-        return functools.partial(traverse_packet_pallas, wide=wide,
+        trav = functools.partial(traverse_packet_pallas, wide=wide,
                                  ordered=ordered, dma_leaf=(mode == "dma"),
                                  multi=multi, dual=dual)
+        if compact_window > 1:
+            from rust_renderer_tpu.ops.compaction import traverse_compacted
+
+            return functools.partial(traverse_compacted,
+                                     window_blocks=compact_window, trav=trav)
+        return trav
     return traverse_packet if packet else traverse
 
 
 def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
-                     wide: bool = True, ordered: bool = False):
+                     wide: bool = True, ordered: bool = False,
+                     compact_window: int = 0):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
     packet=True uses coherent packet traversal (~40x faster on TPU); on TPU
     with VMEM-sized trees the Pallas BVH8 kernel is selected automatically
     (wide=False keeps the round-1 binary skip walk; ordered=True pushes
-    children near-first). sort=True re-orders rays for coherence."""
-    trav = _pick_traversal(bvh, packet, sort, wide, ordered)
+    children near-first). sort=True re-orders rays for coherence.
+    compact_window=N (N>=2) applies windowed live-lane compaction on the
+    Pallas path (ops/compaction.py) — late bounce fronts with clustered
+    dead lanes skip whole blocks."""
+    trav = _pick_traversal(bvh, packet, sort, wide, ordered,
+                           compact_window=compact_window)
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
         t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
@@ -1114,7 +1126,8 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
 
 
 def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
-                 wide: bool = True, ordered: bool = False):
+                 wide: bool = True, ordered: bool = False,
+                 compact_window: int = 0):
     # dual=True: any-hit walks have no best_t culling, so the dual-pop
     # kernel's two-pops-per-extract latency amortization is a pure win —
     # 5-10% faster than the previous multi=4 interleaving on every real
@@ -1122,7 +1135,8 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     # b1 65.4 -> 59.8, b4 46.1 -> 43.6 ms). Closest-hit keeps single-pop:
     # the pair-pop's breadth creep delays best_t tightening and measured
     # 5-8% MORE expensive there even with DFS-preserving push order.
-    trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True)
+    trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True,
+                           compact_window=compact_window)
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)

@@ -60,6 +60,7 @@ def _leaf_tests_from_row(lrow, leaf_size, any_hit,
     if valid is not None:  # scalar: masked-off slot of a leaf-queue flush
         alive = jnp.logical_and(alive, valid)
     cands = []
+    hits = []
     for s in range(leaf_size):
         base = s * 9
         v0x, v0y, v0z = lrow[base], lrow[base + 1], lrow[base + 2]
@@ -85,11 +86,29 @@ def _leaf_tests_from_row(lrow, leaf_size, any_hit,
             & (t > t_min) & (t < best_t)
             & alive
         )
+        if any_hit:
+            # Occlusion queries consume only `prim >= 0` (make_any_hit,
+            # combine_any_hit): skip the closest-slot tournament and its
+            # per-slot selects — one OR tree replaces ~5 selects/slot.
+            hits.append(ok)
+            continue
         cands.append((
             jnp.where(ok, t, 3.0e38),
             jnp.where(ok, tri_id, -1),
             u, v,
         ))
+
+    if any_hit:
+        while len(hits) > 1:
+            hits = [
+                jnp.logical_or(hits[i], hits[i + 1])
+                if i + 1 < len(hits) else hits[i]
+                for i in range(0, len(hits), 2)
+            ]
+        hit_any = hits[0]
+        best_prim = jnp.where(hit_any, jnp.int32(0), best_prim)
+        done = jnp.maximum(done, hit_any.astype(jnp.int32))
+        return best_t, best_prim, best_u, best_v, done
 
     def merge(a, b):
         ta, pa, ua, va = a
@@ -113,8 +132,6 @@ def _leaf_tests_from_row(lrow, leaf_size, any_hit,
     best_prim = jnp.where(improved, p_c, best_prim)
     best_u = jnp.where(improved, u_c, best_u)
     best_v = jnp.where(improved, v_c, best_v)
-    if any_hit:
-        done = jnp.maximum(done, improved.astype(jnp.int32))
     return best_t, best_prim, best_u, best_v, done
 
 
@@ -1325,13 +1342,15 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     tlim = jnp.stack([pack(t_min_v), pack(t_max_v)], axis=1)
 
     ls = bvh.leaf_tris.shape[1]
-    # The kernels (VMEM layout + DMA row slices) need 128-lane rows; the
-    # stored table keeps its logical width for the XLA gather path. XLA
-    # constant-folds this pad of a closed-over constant at compile time.
+    # The kernels (VMEM layout + DMA row slices) need rows padded to the
+    # 128-lane tile width (a 24-slot row is 240 cols -> 256 = two lane
+    # tiles); the stored table keeps its logical width for the XLA gather
+    # path. XLA constant-folds this pad of a closed-over constant.
     leaf_packed = bvh.leaf_packed
-    if leaf_packed.shape[1] < 128:
+    if leaf_packed.shape[1] % 128:
         leaf_packed = jnp.pad(
-            leaf_packed, ((0, 0), (0, 128 - leaf_packed.shape[1]))
+            leaf_packed,
+            ((0, 0), (0, 128 - leaf_packed.shape[1] % 128)),
         )
     if wide:
         # A popped wide node pushes up to width-1 deferred siblings per

@@ -338,8 +338,10 @@ def build_path_tracing_render_graph(
     )
 
     # 6. reference PT with reservoir NEE (mod.rs:345-358, reference.rgen).
-    closest = bvh_ops.make_closest_hit(scene_bvh)
-    any_hit = bvh_ops.make_any_hit(scene_bvh)
+    closest = bvh_ops.make_closest_hit(scene_bvh,
+                                       compact_window=cfg.compact_window)
+    any_hit = bvh_ops.make_any_hit(scene_bvh,
+                                   compact_window=cfg.compact_window)
     use_cubemap_sky = cfg.sky_mode == "cubemap"
 
     def reference_pt(res, scene, view, u):

@@ -65,6 +65,11 @@ class StaticConfig:
     # furnace-lit lambertian scene must converge to its albedo). Static, like
     # the reference's #ifdef.
     furnace_test: bool = False
+    # Windowed live-lane compaction for the PT bounce traversals
+    # (ops/compaction.py): lanes sort live-first within windows of N
+    # adjacent packet blocks, so late bounce fronts skip dead blocks.
+    # 0 = off. Scheduling-only: results are bit-identical.
+    compact_window: int = 0
 
     def replace(self, **kw: Any) -> "StaticConfig":
         return dataclasses.replace(self, **kw)

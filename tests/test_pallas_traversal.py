@@ -246,3 +246,59 @@ def test_wide_collapse_structure():
     tris = tris[tris >= 0]
     n_tris = int(np.asarray(b.leaf_tris).max()) + 1
     assert sorted(tris.tolist()) == list(range(n_tris))
+
+
+def test_windowed_compaction_matches():
+    """traverse_compacted permutes live lanes first within windows, walks,
+    and restores order — results must be exactly the plain walk's,
+    including dead (zero-direction) lanes staying prim=-1."""
+    from rust_renderer_tpu.ops import compaction
+
+    b = _soup_bvh(seed=31)
+    o, d = _rays(n=2048, seed=32)
+    d = d.at[::3].set(0.0)  # scattered dead lanes across both blocks
+
+    t0, p0, u0, v0 = _pallas_traverse(b, o, d)
+
+    from rust_renderer_tpu.ops.pallas import traversal as ptrav
+    from jax.experimental import pallas as pl
+
+    if jax.devices()[0].platform == "cpu":
+        orig = pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+    for method in ("sort", "scatter"):
+        if jax.devices()[0].platform == "cpu":
+            orig = pl.pallas_call
+
+            def patched(*a, **k):
+                k["interpret"] = True
+                return orig(*a, **k)
+
+            ptrav.pl.pallas_call = patched
+            try:
+                t1, p1, u1, v1 = compaction.traverse_compacted(
+                    b, o, d, window_blocks=2, method=method)
+            finally:
+                ptrav.pl.pallas_call = orig
+        else:
+            t1, p1, u1, v1 = compaction.traverse_compacted(
+                b, o, d, window_blocks=2, method=method)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+        hit = np.asarray(p0) >= 0
+        np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t0)[hit],
+                                   rtol=1e-6)
+        assert np.all(np.asarray(p1)[::3] == -1)
+
+
+def test_window_forward_map():
+    from rust_renderer_tpu.ops import compaction
+
+    live = jnp.asarray([True, False, True, False, False, True, True, True])
+    fwd = np.asarray(compaction.window_forward_map(live, 4))
+    # window 0: live lanes 0,2 -> slots 0,1; dead 1,3 -> 2,3
+    # window 1: lane 4 dead -> slot 7; lanes 5,6,7 live -> 4,5,6
+    np.testing.assert_array_equal(fwd, [0, 2, 1, 3, 7, 4, 5, 6])

@@ -108,7 +108,7 @@ def capture_fronts(n, bounces=5):
             (jnp.sum(d2 * d2, -1) > 0).astype(jnp.float32)))))
     for f in closest_fronts:
         jax.block_until_ready(f[0])
-    return bvh, closest_fronts, nee_fronts
+    return bvh, closest_fronts, nee_fronts, scene
 
 
 def compact_order(direction):
@@ -165,8 +165,17 @@ def main():
     args = ap.parse_args()
     n = args.size
 
-    bvh, closest_fronts, nee_fronts = capture_fronts(n, args.bounces)
+    bvh, closest_fronts, nee_fronts, scene = capture_fronts(n, args.bounces)
     variants = args.variants.split(",")
+    # leafN variants trade deeper walks for fatter leaf rows (a 24-slot row
+    # is 240 cols = two VMEM lane tiles; the kernels are width-generic).
+    alt_trees = {
+        int(v[4:]): bvhmod.build_bvh(
+            np.asarray(scene.positions), np.asarray(scene.indices),
+            leaf_size=int(v[4:]),
+        )
+        for v in variants if v.startswith("leaf")
+    }
 
     if args.stats:
         def pops(o, d, tmin, tmax, any_hit, dual):
@@ -192,7 +201,8 @@ def main():
 
     def run_variant(v, o, d, tmin, tmax, any_hit):
         if v == "prod":
-            kw = dict(multi=4) if any_hit else {}
+            # mirror make_any_hit / make_closest_hit production settings
+            kw = dict(dual=True) if any_hit else {}
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit, **kw)
         if v.startswith("multi"):
@@ -206,10 +216,26 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           leaf_queue=int(v[2:]))
+        if v.startswith("wc"):
+            # windowed live-lane compaction (wc8 = 8-block windows, sort
+            # moves; wcg8 = scatter/gather moves); the in-graph permutation
+            # cost is part of the measurement
+            from rust_renderer_tpu.ops import compaction
+            kw = dict(dual=True) if any_hit else {}
+            method = "scatter" if v.startswith("wcg") else "sort"
+            wb = int(v[3:] if v.startswith("wcg") else v[2:])
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=wb, method=method,
+                any_hit=any_hit, **kw)
         if v == "mvm":
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           mask_via_vmem=True)
+        if v.startswith("leaf"):
+            # production kernel settings per mode (anyhit = dual-pop)
+            return traverse_packet_pallas(alt_trees[int(v[4:])], o, d,
+                                          tmin, tmax, any_hit=any_hit,
+                                          dual=any_hit)
         if v == "ordered":
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit, ordered=True)

@@ -28,9 +28,10 @@ from rust_renderer_tpu.ops import bvh as bvhmod  # noqa: E402
 from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W  # noqa: E402
 
 
-def walk_block(bvh, o, d, t_max=1e4, t_min=1e-3, any_hit=False):
+def walk_block(bvh, o, d, t_max=1e4, t_min=1e-3, any_hit=False,
+               return_t=False):
     """Replay of _make_kernel_wide's walk for one block: returns
-    (pops, leaf_pops)."""
+    (pops, leaf_pops) — or (pops, leaf_pops, best_t) with return_t."""
     wn = np.asarray(bvh.wnode_packed)
     wn_i = wn.view(np.int32)
     leaf_v0 = np.asarray(bvh.leaf_v0)
@@ -110,6 +111,8 @@ def walk_block(bvh, o, d, t_max=1e4, t_min=1e-3, any_hit=False):
             hit = (tfar >= np.maximum(tnear, t_min)) & (tnear <= best_t) & not_done
             if hit.any():
                 stack.append(int(child))
+    if return_t:
+        return pops, leaf_pops, best_t
     return pops, leaf_pops
 
 
