@@ -3,22 +3,28 @@
 Late bounce fronts keep every 1024-lane packet block walking while ANY lane
 is live (~16% live lanes at bounce 5 still cost MORE than bounce 1 —
 PERFORMANCE.md round 3). GLOBAL active-first compaction was measured a
-wash: ~6x fewer live blocks, but origins scrambled scene-wide widen each
-surviving block's union walk by about the same factor (unions are
-origin-driven; bench_fronts round 3). Windowed compaction bounds the
-scramble: lanes move only within a window of `window_blocks` ADJACENT
-blocks (adjacent image rows), so surviving blocks keep spatially local
-origins while fully-dead blocks exit their walk after one root pop.
+wash there, but the loss was the data movement (scatter-built inverse
+permutation + per-channel gathers), not union widening: a STABLE live-first
+partition preserves image order among survivors (tools/eval_compaction.py:
+0.58-0.80x total pops at 10-40% live). Windowed compaction additionally
+bounds the worst-case scramble: lanes move only within a window of
+`window_blocks` ADJACENT packet blocks, so surviving blocks keep spatially
+local origins while fully-dead blocks exit their walk after one root pop.
 
-Data movement is two packed-row moves (the round-1 lesson: many small
-gathers lower to table scans, one row fetch per lane does not):
-  - inputs  (o, d, t_max) ride ONE (N, 8) row SCATTER to compacted order;
-  - outputs (t, prim, u, v) ride ONE (N, 4) row GATHER back.
-The forward map (src lane -> compacted slot) is two in-window cumsums.
+Layout: windows are formed in the SAME tile-major lane order the Pallas
+launcher packs 2D fronts into (32x32 image tiles -> one (8,128) block
+each — traverse_packet_pallas's `pack`), so "window_blocks adjacent
+blocks" means horizontally-adjacent image tiles, and the compacted front
+is handed to the kernel pre-flattened in exactly that block order.
 
-Reference role: this is scheduling for the traversal of
-utopian/src/raytracing.rs dispatches; the reference's GPU gets the same
-effect for free from hardware warp scheduling over terminated threads.
+Data movement is two in-window `lax.sort`s (bitonic, ~91 fully-vectorized
+compare stages for an 8-block window — no scatter/gather lowering risk) or,
+with method="scatter", one packed-row scatter in + one row gather back (the
+round-1 packed-row lesson).
+
+Reference role: scheduling for the traversal dispatches of
+utopian/src/raytracing.rs; the reference's GPU gets the same effect for
+free from hardware warp scheduling over terminated threads.
 """
 from __future__ import annotations
 
@@ -28,6 +34,35 @@ import jax.numpy as jnp
 from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
 BLOCK = 1024  # lanes per packet block (8 x 128)
+TILE = 32     # image tile side the Pallas launcher packs 2D fronts into
+
+
+def _lane_maps(shape):
+    """(pack, unpack) between the logical front shape and the flat
+    tile-major lane order used by the Pallas launcher for 2D fronts."""
+    if (len(shape) == 2 and shape[0] % TILE == 0 and shape[1] % TILE == 0):
+        h, w = shape
+
+        def pack(x):
+            x = x.reshape(h // TILE, TILE, w // TILE, TILE)
+            return x.transpose(0, 2, 1, 3).reshape(-1)
+
+        def unpack(x):
+            x = x.reshape(h // TILE, w // TILE, TILE, TILE)
+            return x.transpose(0, 2, 1, 3).reshape(h, w)
+
+        return pack, unpack
+    n = 1
+    for s in shape:
+        n *= s
+
+    def pack(x):
+        return x.reshape(n)
+
+    def unpack(x):
+        return x.reshape(shape)
+
+    return pack, unpack
 
 
 def window_forward_map(live_flat, window_lanes: int):
@@ -53,12 +88,7 @@ def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     Same signature/results as the underlying traversal `trav` (default
     traverse_packet_pallas; dead lanes keep prim=-1); lanes are permuted
     into live-first order within windows of `window_blocks` adjacent blocks
-    for the walk and restored after.
-
-    method="sort": both moves are stable in-window lax.sorts (bitonic —
-    ~91 fully-vectorized stages for an 8-block window, no scatter/gather
-    lowering risk). method="scatter": one (N,8) row scatter in + one (N,4)
-    row gather back via the cumsum forward map.
+    for the walk and restored after. Scheduling only — results are exact.
     """
     if trav is None:
         trav = traverse_packet_pallas
@@ -78,45 +108,44 @@ def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     if n % BLOCK or wb < 2:
         # sub-block fronts or no usable window: compaction cannot help
         return trav(bvh, origin, direction, t_min, t_max, **kw)
-    o = origin.reshape(n, 3)
-    d = direction.reshape(n, 3)
-    live = jnp.sum(d * d, axis=-1) > 0.0
 
-    tmax_lane = jnp.broadcast_to(
-        jnp.asarray(t_max, jnp.float32), shape).reshape(n)
+    pack, unpack = _lane_maps(shape)
+    ox, oy, oz = (pack(origin[..., k]) for k in range(3))
+    dx, dy, dz = (pack(direction[..., k]) for k in range(3))
+    tmx = pack(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape))
+    live = (dx * dx + dy * dy + dz * dz) > 0.0
 
     if method == "sort":
         dead_key = jnp.logical_not(live).astype(jnp.int32).reshape(-1, window)
         src_idx = jax.lax.broadcasted_iota(jnp.int32, (n // window, window), 1)
-        ins = tuple(a.reshape(-1, window) for a in (
-            o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmax_lane))
+        ins = tuple(a.reshape(-1, window)
+                    for a in (ox, oy, oz, dx, dy, dz, tmx))
         sorted_all = jax.lax.sort(
             (dead_key, src_idx) + ins, dimension=1, num_keys=2,
             is_stable=False)  # (dead, src_idx) is already a total order
         src_c = sorted_all[1]
-        ox, oy, oz, dx, dy, dz, tmx = sorted_all[2:]
-        o_c = jnp.stack([ox, oy, oz], -1).reshape(shape + (3,))
-        d_c = jnp.stack([dx, dy, dz], -1).reshape(shape + (3,))
-        tmax_c = tmx.reshape(shape)
+        o_c = jnp.stack([a.reshape(n) for a in sorted_all[2:5]], -1)
+        d_c = jnp.stack([a.reshape(n) for a in sorted_all[5:8]], -1)
+        tmax_c = sorted_all[8].reshape(n)
 
         t, prim, u, v = trav(bvh, o_c, d_c, t_min, tmax_c, **kw)
-        outs = tuple(a.reshape(-1, window) for a in (
-            t.reshape(n), prim.reshape(n), u.reshape(n), v.reshape(n)))
+        outs = tuple(a.reshape(-1, window) for a in
+                     (t.reshape(n), prim.reshape(n), u.reshape(n),
+                      v.reshape(n)))
         restored = jax.lax.sort((src_c,) + outs, dimension=1, num_keys=1,
                                 is_stable=False)  # src_c is a permutation
-        t_o, prim_o, u_o, v_o = restored[1:]
-        return (t_o.reshape(shape), prim_o.reshape(shape),
-                u_o.reshape(shape), v_o.reshape(shape))
+        t_o, prim_o, u_o, v_o = (a.reshape(n) for a in restored[1:])
+        return (unpack(t_o), unpack(prim_o), unpack(u_o), unpack(v_o))
 
     fwd = window_forward_map(live, window)
-    rows = jnp.concatenate(
-        [o, d, tmax_lane.reshape(n, 1), jnp.zeros((n, 1), jnp.float32)],
+    rows = jnp.stack(
+        [ox, oy, oz, dx, dy, dz, tmx, jnp.zeros((n,), jnp.float32)],
         axis=1,
     )
     rows_c = jnp.zeros_like(rows).at[fwd].set(rows, unique_indices=True)
-    o_c = rows_c[:, 0:3].reshape(shape + (3,))
-    d_c = rows_c[:, 3:6].reshape(shape + (3,))
-    tmax_c = rows_c[:, 6].reshape(shape)
+    o_c = rows_c[:, 0:3]
+    d_c = rows_c[:, 3:6]
+    tmax_c = rows_c[:, 6]
 
     t, prim, u, v = trav(bvh, o_c, d_c, t_min, tmax_c, **kw)
     out = jnp.stack(
@@ -126,8 +155,8 @@ def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         axis=1,
     )
     back = out[fwd]
-    t_o = back[:, 0].reshape(shape)
-    prim_o = jax.lax.bitcast_convert_type(back[:, 1], jnp.int32).reshape(shape)
-    u_o = back[:, 2].reshape(shape)
-    v_o = back[:, 3].reshape(shape)
-    return t_o, prim_o, u_o, v_o
+    t_o = back[:, 0]
+    prim_o = jax.lax.bitcast_convert_type(back[:, 1], jnp.int32)
+    u_o = back[:, 2]
+    v_o = back[:, 3]
+    return unpack(t_o), unpack(prim_o), unpack(u_o), unpack(v_o)

@@ -89,8 +89,10 @@ def main():
     idx = np.asarray(scene.indices)
     bvh = bvhmod.build_bvh(pos, idx, leaf_size=12)
 
-    n = args.blocks * 1024
-    side = int(np.sqrt(n))
+    # side a multiple of 32 so the image maps to whole 32x32 tile blocks
+    # (the production lane layout: traverse_packet_pallas's pack()).
+    side = max(32, (int(np.sqrt(args.blocks * 1024)) // 32) * 32)
+    n = side * side
     # Camera front in IMAGE ORDER (row-major) — the real lane->pixel layout.
     eye = np.asarray(cam_eye, np.float32)
     look = np.asarray(cam_look, np.float32)
@@ -102,9 +104,15 @@ def main():
                          np.linspace(-0.35, 0.35, side))
     dirs = (fwd[None] + uu.reshape(-1, 1) * right[None]
             + vv.reshape(-1, 1) * up[None]).astype(np.float32)
-    dirs = np.concatenate([dirs, dirs[: n - len(dirs)]], 0)[:n]
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     o_cam = np.tile(eye, (n, 1)).astype(np.float32)
+
+    def tilepack(x):
+        """Image order -> the production tile-major lane order (32x32
+        image tiles -> one 1024-lane block each)."""
+        x = x.reshape(side // 32, 32, side // 32, 32, -1)
+        return np.ascontiguousarray(
+            x.transpose(0, 2, 1, 3, 4)).reshape(n, -1).squeeze()
 
     print("computing first-hit points (brute, exact)...", flush=True)
     t0 = time.time()
@@ -129,12 +137,16 @@ def main():
                              sm).reshape(-1)
     sm = np.concatenate([sm, sm[: n - len(sm)]])[:n]
 
+    n_blocks = n // 1024
     for frac in [float(x) for x in args.live.split(",")]:
         thr = np.quantile(sm[hit], frac) if frac < 1 else sm.max() + 1
         live = hit & (sm < thr)
         lf = live.mean()
-        o = orig.copy()
-        d = np.where(live[:, None], d_b, 0.0).astype(np.float32)
+        # move everything into the production tile-major lane order; blocks
+        # are then consecutive 1024-lane runs and windows adjacent tiles
+        o = tilepack(orig.copy())
+        d = tilepack(np.where(live[:, None], d_b, 0.0).astype(np.float32))
+        live = tilepack(live[:, None].copy()).astype(bool)
         rows = []
         base = front_cost(bvh, o, d, args.any_hit)
         rows.append(("baseline", base))
@@ -144,7 +156,7 @@ def main():
             ow, dw = partition(o, d, live, g * 1024)
             rows.append((f"win{g}", front_cost(bvh, ow, dw, args.any_hit)))
         print(f"== live {lf * 100:.0f}% ({int(live.sum())} lanes, "
-              f"{args.blocks} blocks) ==", flush=True)
+              f"{n_blocks} blocks) ==", flush=True)
         for name, c in rows:
             print(f"  {name:9s} total pops {c:8d}  ({c / base:5.2f}x)",
                   flush=True)

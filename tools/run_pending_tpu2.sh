@@ -20,5 +20,5 @@ fi
 
 echo "--- bench_fronts prod,wc8,wc16,wcg8 ---" >> "$LOG"
 timeout 5400 python tools/bench_fronts.py 512 \
-  --variants prod,wc8,wc16,wcg8 >> "$LOG" 2>&1
+  --variants prod,wc8,wc16,wc256,wcg8 >> "$LOG" 2>&1
 echo "=== done $(date) ===" >> "$LOG"
