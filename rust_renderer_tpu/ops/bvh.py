@@ -1072,7 +1072,7 @@ def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
 def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     wide: bool = True, ordered: bool = False,
                     multi: int = 1, dual: bool = False,
-                    compact_window: int = 0):
+                    compact_window: int = 0, steady_drain: int = 0):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -1083,7 +1083,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
 
         trav = functools.partial(traverse_packet_pallas, wide=wide,
                                  ordered=ordered, dma_leaf=(mode == "dma"),
-                                 multi=multi, dual=dual)
+                                 multi=multi, dual=dual,
+                                 steady_drain=steady_drain)
         if compact_window > 1:
             from rust_renderer_tpu.ops.compaction import traverse_compacted
 

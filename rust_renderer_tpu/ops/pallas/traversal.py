@@ -776,6 +776,201 @@ def _make_kernel_wide_lq(leaf_size: int, any_hit: bool, flush_k: int,
     return kernel
 
 
+SD_QCAP = 256  # steady-drain SMEM leaf-queue capacity (measured peak depth
+               # on the bench scenes is ~32; tests assert < SD_QCAP // 2)
+
+
+def _make_kernel_wide_sd(leaf_size: int, any_hit: bool, drain: int,
+                         dma_leaf: bool = False):
+    """Wide traversal with a STEADY leaf drain — no lax.cond anywhere.
+
+    The lq kernel amortizes the leaf branch context to one cond per
+    flush, but its flush tests a fixed W=16 rows regardless of queue
+    depth (`valid` only masks the writes), so partially-full flushes
+    nearly double the leaf vector work (CPU replay, tools/eval_lq.py:
+    832 row-slots vs prod's 427 on the bounce-closest front). Here every
+    iteration is one straight-line body: pop-and-expand one internal node
+    (masked no-op once the stack drains) + test `drain` queued leaf rows
+    (masked when fewer are queued). With mean leaf rows per internal pop
+    ~1.3 on the bench scenes, drain=2 keeps the queue bounded (peak ~32)
+    and the body branch-free: bounce-closest does 304 iterations at
+    2 row-slots each vs prod's 729 cond-guarded pops.
+
+    Any-hit early exit: the all-lanes-done bit rides bit W of the same
+    packed word the child-hit mask reduces through, so termination reuses
+    the one vector->scalar extract per iteration (it lags the drain by one
+    iteration — dead lanes mask every test meanwhile, so results are
+    unaffected). Deferral semantics match the lq kernel: best_t tightens
+    up to queue-depth rows later than strict DFS, which only changes
+    identical-t tie resolution.
+    """
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, *rest):
+        n_scratch = 4 if dma_leaf else 2
+        stack_ref, queue_ref = rest[-n_scratch], rest[-n_scratch + 1]
+        if dma_leaf:
+            rowbuf_ref, dma_sem = rest[-2], rest[-1]
+        stats_out = rest[0] if len(rest) == n_scratch + 1 else None
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        def leaf_tests(leaf, valid, args):
+            if dma_leaf:
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
+                    rowbuf_ref, dma_sem,
+                )
+                dma.start()
+                dma.wait()
+                return _leaf_tests_from_row(
+                    rowbuf_ref[0], leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args, valid=valid,
+                )
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox, oy, oz, dx, dy, dz, t_min, args,
+                               valid=valid)
+
+        stack_ref[0] = jnp.int32(0)
+        zero_i = jnp.int32(0)
+
+        def cond(state):
+            sp, qn, alive = state[0], state[1], state[2]
+            return jnp.logical_and(
+                jnp.logical_or(sp > 0, qn > 0), alive > 0
+            )
+
+        def body(state):
+            (sp, qn, alive, best_t, best_prim, best_u, best_v, done, pops,
+             rows, max_q) = state
+            active = sp > 0
+            ref = jnp.where(active, stack_ref[jnp.maximum(sp - 1, 0)],
+                            zero_i)
+            sp = jnp.maximum(sp - 1, 0)
+            pops = pops + active.astype(jnp.int32)
+
+            row = node_ref[jnp.maximum(ref, 0)]
+            row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+            not_done = done == 0
+            children = []
+            # Bits 0..W-1: per-child any-lane-hit; bit W: any lane alive
+            # (one OR-tree + extract serves both the mask and the any-hit
+            # termination check).
+            packed = not_done.astype(jnp.int32) << W
+            for c in range(W):
+                tx0 = (row[c] - ox) * ix
+                ty0 = (row[W + c] - oy) * iy
+                tz0 = (row[2 * W + c] - oz) * iz
+                tx1 = (row[3 * W + c] - ox) * ix
+                ty1 = (row[4 * W + c] - oy) * iy
+                tz1 = (row[5 * W + c] - oz) * iz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                hit = (
+                    (tfar >= jnp.maximum(tnear, t_min))
+                    & (tnear <= best_t)
+                    & not_done
+                )
+                packed = packed | (hit.astype(jnp.int32) << c)
+                children.append(row_i[6 * W + c])
+            for s in (1, 2, 4):
+                packed = packed | pltpu.roll(packed, s, axis=0)
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                packed = packed | pltpu.roll(packed, s, axis=1)
+            word = packed[0, 0]
+            if any_hit:
+                alive = (word >> W) & 1
+            empty_bits = jnp.int32(0)
+            for c in range(W):
+                empty_bits = empty_bits | (
+                    (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
+                )
+            mask = jnp.where(active, word & ~empty_bits, 0)
+
+            for c in range(W):
+                bit = (mask >> c) & 1
+                is_leaf_c = children[c] < 0
+                leaf_bit = bit * is_leaf_c.astype(jnp.int32)
+                int_bit = bit - leaf_bit
+
+                @pl.when(leaf_bit == 1)
+                def _(row_idx=-2 - children[c],
+                      at=jnp.minimum(qn, SD_QCAP - 1)):
+                    queue_ref[at] = row_idx
+
+                qn = qn + leaf_bit
+
+                @pl.when(int_bit == 1)
+                def _(child=children[c], at=sp):
+                    stack_ref[at] = child
+
+                sp = sp + int_bit
+            max_q = jnp.maximum(max_q, qn)
+
+            # Steady drain: exactly `drain` row tests per iteration, the
+            # surplus masked by valid — straight-line, no cond.
+            args = (best_t, best_prim, best_u, best_v, done)
+            q0 = qn
+            for k in range(drain):
+                valid = q0 > k
+                row_idx = queue_ref[jnp.maximum(q0 - 1 - k, 0)]
+                args = leaf_tests(row_idx, valid, args)
+            take = jnp.minimum(q0, drain)
+            qn = q0 - take
+            rows = rows + take
+            best_t, best_prim, best_u, best_v, done = args
+            return (sp, qn, alive, best_t, best_prim, best_u, best_v, done,
+                    pops, rows, max_q)
+
+        init = (
+            jnp.int32(1),
+            jnp.int32(0),
+            jnp.int32(1),
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+        )
+        (sp, qn, alive, best_t, best_prim, best_u, best_v, done, pops,
+         rows, max_q) = jax.lax.while_loop(cond, body, init)
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+        if stats_out is not None:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            stats_out[0] = jnp.where(
+                rid == 0, pops, jnp.where(rid == 1, rows, max_q)
+            )
+
+    return kernel
+
+
 def _make_kernel_wide_dual(leaf_size: int, any_hit: bool,
                            dma_leaf: bool = False):
     """BVH-wide stack traversal popping TWO nodes per iteration.
@@ -1217,11 +1412,13 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
     static_argnames=(
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
         "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
+        "steady_drain",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
-         dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False):
+         dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False,
+         steady_drain=0):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -1259,6 +1456,13 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         kernel = _make_kernel_wide_multi(leaf_size, any_hit, nb,
                                          dma_leaf=dma_leaf)
         scratch = [pltpu.SMEM((nb, stack_size), jnp.int32)] + dma_scratch
+    elif wide and steady_drain > 0 and not ordered:
+        kernel = _make_kernel_wide_sd(leaf_size, any_hit, steady_drain,
+                                      dma_leaf=dma_leaf)
+        scratch = [
+            pltpu.SMEM((stack_size,), jnp.int32),
+            pltpu.SMEM((SD_QCAP,), jnp.int32),
+        ] + dma_scratch
     elif wide and leaf_queue > 0 and not ordered:
         kernel = _make_kernel_wide_lq(leaf_size, any_hit, leaf_queue,
                                       dma_leaf=dma_leaf)
@@ -1299,7 +1503,8 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            ordered: bool = False, wide: bool = True,
                            multi: int = 1, dma_leaf: bool = False,
                            dual: bool = False, stats: bool = False,
-                           leaf_queue: int = 0, mask_via_vmem: bool = False):
+                           leaf_queue: int = 0, mask_via_vmem: bool = False,
+                           steady_drain: int = 0):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -1380,7 +1585,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
         stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,
         dual=dual, stats=stats, leaf_queue=leaf_queue,
-        mask_via_vmem=mask_via_vmem,
+        mask_via_vmem=mask_via_vmem, steady_drain=steady_drain,
     )
     if stats:
         t, prim, u, v, st = out

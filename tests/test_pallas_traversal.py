@@ -175,6 +175,46 @@ def test_pallas_leaf_queue_sweep_tpu():
     np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
 
 
+def test_pallas_steady_drain_matches():
+    """The steady-drain kernel (branch-free body: one masked internal
+    expand + `drain` masked leaf-row tests per iteration) is exact vs the
+    XLA packet walk. Interpret mode replays the full unrolled body per
+    iteration, so the default-suite case is a tiny closest-only soup;
+    any-hit / drain sweep / queue-depth coverage runs on TPU only."""
+    b = _soup_bvh(n=24, seed=27)
+    o, d = _rays(seed=28)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, steady_drain=2)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_pallas_steady_drain_sweep_tpu():
+    """Any-hit + drain sweep + DMA + queue-headroom coverage — native TPU
+    only (interpret mode is pathologically slow on while-loop kernels)."""
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("sd sweep coverage needs the native TPU backend")
+    from rust_renderer_tpu.ops.pallas.traversal import SD_QCAP
+    b = _soup_bvh(n=60, seed=29)
+    o, d = _rays(seed=30)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    for drain in (1, 2, 3):
+        t1, p1, _, _ = _pallas_traverse(b, o, d, steady_drain=drain)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    t1, p1, _, _ = _pallas_traverse(b, o, d, steady_drain=2, dma_leaf=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, steady_drain=2)
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+    # queue headroom: stats row 2 carries the peak queue depth
+    out = _pallas_traverse(b, o, d, steady_drain=2, stats=True)
+    max_q = int(np.asarray(out[4])[:, 2, 0].max())
+    assert max_q < SD_QCAP // 2, max_q
+
+
 def test_pallas_multi_block_matches():
     """The latency-interleaved kernel (multi ray blocks per grid step) is
     exact vs the XLA packet walk at every interleave width."""

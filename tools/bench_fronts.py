@@ -216,6 +216,12 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           leaf_queue=int(v[2:]))
+        if v.startswith("sd"):
+            # steady drain: branch-free body, D leaf rows tested per
+            # iteration (tools/eval_lq.py for the CPU economics)
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit,
+                                          steady_drain=int(v[2:]))
         if v.startswith("wc"):
             # windowed live-lane compaction (wc8 = 8-block windows, sort
             # moves; wcg8 = scatter/gather moves); the in-graph permutation
