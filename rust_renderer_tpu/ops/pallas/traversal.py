@@ -975,6 +975,206 @@ def _make_kernel_wide_sd(leaf_size: int, any_hit: bool, drain: int,
     return kernel
 
 
+def _make_kernel_wide_sdd(leaf_size: int, any_hit: bool, drain: int,
+                          dma_leaf: bool = False):
+    """Dual-expand steady-drain: TWO internal expands + `drain` leaf-row
+    tests per iteration, all straight-line, ONE vector->scalar extract.
+
+    The two expands' 16-bit child-hit masks exactly fill the one extracted
+    int32 (bits 0-15 = top-of-stack node A, 16-31 = node B), so per
+    iteration the walk retires up to 32 boxes + `drain` leaf rows against
+    a single extract latency — CPU replay (tools/eval_lq.py): bounce
+    closest 144 iters vs prod's 664 cond-guarded pops at near-equal leaf
+    rows (394 vs 380), bounce any-hit 57 vs 178.
+
+    There is NO room for the any-hit all-done bit, and it does not pay:
+    real NEE fronts keep sky-miss lanes un-done forever, so the all-done
+    early exit almost never fires (measured: identical iteration counts
+    with and without it). Any-hit runs to natural drain-out — done lanes
+    mask every hit, so expansion stops feeding the stack within one level.
+    DFS order: node B's children are pushed first, then A's, so A's
+    subtree (the DFS-earlier one) keeps popping first.
+    """
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
+
+    def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, *rest):
+        n_scratch = 4 if dma_leaf else 2
+        stack_ref, queue_ref = rest[-n_scratch], rest[-n_scratch + 1]
+        if dma_leaf:
+            rowbuf_ref, dma_sem = rest[-2], rest[-1]
+        stats_out = rest[0] if len(rest) == n_scratch + 1 else None
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12, jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        def leaf_tests(leaf, valid, args):
+            if dma_leaf:
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
+                    rowbuf_ref, dma_sem,
+                )
+                dma.start()
+                dma.wait()
+                return _leaf_tests_from_row(
+                    rowbuf_ref[0], leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args, valid=valid,
+                )
+            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
+                               ox, oy, oz, dx, dy, dz, t_min, args,
+                               valid=valid)
+
+        stack_ref[0] = jnp.int32(0)
+        zero_i = jnp.int32(0)
+
+        def cond(state):
+            return jnp.logical_or(state[0] > 0, state[1] > 0)
+
+        def body(state):
+            (sp, qn, best_t, best_prim, best_u, best_v, done, pops,
+             rows, max_q) = state
+            active_a = sp > 0
+            active_b = sp > 1
+            ref_a = jnp.where(active_a, stack_ref[jnp.maximum(sp - 1, 0)],
+                              zero_i)
+            ref_b = jnp.where(active_b, stack_ref[jnp.maximum(sp - 2, 0)],
+                              zero_i)
+            sp = jnp.maximum(sp - 2, 0)
+            pops = pops + active_a.astype(jnp.int32) \
+                + active_b.astype(jnp.int32)
+
+            not_done = done == 0
+            packed = jnp.zeros((8, 128), jnp.int32)
+            children = []  # [A slots..., B slots...]
+            for half, ref in enumerate((ref_a, ref_b)):
+                row = node_ref[jnp.maximum(ref, 0)]
+                row_i = jax.lax.bitcast_convert_type(row, jnp.int32)
+                for c in range(W):
+                    tx0 = (row[c] - ox) * ix
+                    ty0 = (row[W + c] - oy) * iy
+                    tz0 = (row[2 * W + c] - oz) * iz
+                    tx1 = (row[3 * W + c] - ox) * ix
+                    ty1 = (row[4 * W + c] - oy) * iy
+                    tz1 = (row[5 * W + c] - oz) * iz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    hit = (
+                        (tfar >= jnp.maximum(tnear, t_min))
+                        & (tnear <= best_t)
+                        & not_done
+                    )
+                    packed = packed | (
+                        hit.astype(jnp.int32) << (half * W + c)
+                    )
+                    children.append(row_i[6 * W + c])
+            for s in (1, 2, 4):
+                packed = packed | pltpu.roll(packed, s, axis=0)
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                packed = packed | pltpu.roll(packed, s, axis=1)
+            word = packed[0, 0]
+            empty_a = jnp.int32(0)
+            empty_b = jnp.int32(0)
+            for c in range(W):
+                empty_a = empty_a | (
+                    (children[c] == WIDE_EMPTY).astype(jnp.int32) << c
+                )
+                empty_b = empty_b | (
+                    (children[W + c] == WIDE_EMPTY).astype(jnp.int32) << c
+                )
+            mask_a = jnp.where(active_a, word & jnp.int32(0xFFFF) & ~empty_a,
+                               0)
+            mask_b = jnp.where(
+                active_b,
+                jax.lax.shift_right_logical(word, 16) & jnp.int32(0xFFFF)
+                & ~empty_b,
+                0,
+            )
+
+            # Push B's children first, then A's: A (the DFS-earlier node)
+            # keeps popping first.
+            for half, mask in ((1, mask_b), (0, mask_a)):
+                for c in range(W):
+                    bit = (mask >> c) & 1
+                    child = children[half * W + c]
+                    is_leaf_c = child < 0
+                    leaf_bit = bit * is_leaf_c.astype(jnp.int32)
+                    int_bit = bit - leaf_bit
+
+                    @pl.when(leaf_bit == 1)
+                    def _(row_idx=-2 - child,
+                          at=jnp.minimum(qn, SD_QCAP - 1)):
+                        queue_ref[at] = row_idx
+
+                    qn = qn + leaf_bit
+
+                    @pl.when(int_bit == 1)
+                    def _(child=child, at=sp):
+                        stack_ref[at] = child
+
+                    sp = sp + int_bit
+            max_q = jnp.maximum(max_q, qn)
+
+            args = (best_t, best_prim, best_u, best_v, done)
+            q0 = qn
+            for k in range(drain):
+                valid = q0 > k
+                row_idx = queue_ref[jnp.maximum(q0 - 1 - k, 0)]
+                args = leaf_tests(row_idx, valid, args)
+            take = jnp.minimum(q0, drain)
+            qn = q0 - take
+            rows = rows + take
+            best_t, best_prim, best_u, best_v, done = args
+            return (sp, qn, best_t, best_prim, best_u, best_v, done,
+                    pops, rows, max_q)
+
+        init = (
+            jnp.int32(1),
+            jnp.int32(0),
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+        )
+        (sp, qn, best_t, best_prim, best_u, best_v, done, pops,
+         rows, max_q) = jax.lax.while_loop(cond, body, init)
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+        if stats_out is not None:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            stats_out[0] = jnp.where(
+                rid == 0, pops, jnp.where(rid == 1, rows, max_q)
+            )
+
+    return kernel
+
+
 def _make_kernel_wide_dual(leaf_size: int, any_hit: bool,
                            dma_leaf: bool = False):
     """BVH-wide stack traversal popping TWO nodes per iteration.
@@ -1461,8 +1661,8 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
                                          dma_leaf=dma_leaf)
         scratch = [pltpu.SMEM((nb, stack_size), jnp.int32)] + dma_scratch
     elif wide and steady_drain > 0 and not ordered:
-        kernel = _make_kernel_wide_sd(leaf_size, any_hit, steady_drain,
-                                      dma_leaf=dma_leaf)
+        make = _make_kernel_wide_sdd if dual else _make_kernel_wide_sd
+        kernel = make(leaf_size, any_hit, steady_drain, dma_leaf=dma_leaf)
         scratch = [
             pltpu.SMEM((stack_size,), jnp.int32),
             pltpu.SMEM((SD_QCAP,), jnp.int32),

@@ -189,6 +189,11 @@ def test_pallas_steady_drain_matches():
     hit = np.asarray(p1) >= 0
     np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
                                rtol=1e-6)
+    # dual-expand steady drain (sdd): two 16-bit masks share the extract
+    t3, p3, _, _ = _pallas_traverse(b, o, d, steady_drain=2, dual=True)
+    np.testing.assert_array_equal(np.asarray(p3), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(t3)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
 
 
 @pytest.mark.slow
@@ -204,11 +209,17 @@ def test_pallas_steady_drain_sweep_tpu():
     for drain in (1, 2, 3):
         t1, p1, _, _ = _pallas_traverse(b, o, d, steady_drain=drain)
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    for drain in (2, 3, 4):  # dual-expand steady drain
+        t1, p1, _, _ = _pallas_traverse(b, o, d, steady_drain=drain,
+                                        dual=True)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     t1, p1, _, _ = _pallas_traverse(b, o, d, steady_drain=2, dma_leaf=True)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
-    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, steady_drain=2)
     tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
-    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+    for kw in (dict(steady_drain=2), dict(steady_drain=3, dual=True)):
+        ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, **kw)
+        np.testing.assert_array_equal(np.asarray(pa) >= 0,
+                                      np.asarray(pb) >= 0)
     # queue headroom: stats row 2 carries the peak queue depth
     out = _pallas_traverse(b, o, d, steady_drain=2, stats=True)
     max_q = int(np.asarray(out[4])[:, 2, 0].max())

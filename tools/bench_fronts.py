@@ -216,6 +216,11 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           leaf_queue=int(v[2:]))
+        if v.startswith("sdd"):
+            # dual-expand steady drain: 2 expands + D rows per extract
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit, dual=True,
+                                          steady_drain=int(v[3:]))
         if v.startswith("sd"):
             # steady drain: branch-free body, D leaf rows tested per
             # iteration (tools/eval_lq.py for the CPU economics)

@@ -40,10 +40,13 @@ from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W  # noqa: E402
 from tools.eval_tree import make_fronts  # noqa: E402
 
 
-def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None,
-                t_max=1e4, t_min=1e-3):
+def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None, pops=1,
+                natural=False, t_max=1e4, t_min=1e-3):
     """Replay of the wide walk with leaf-queue semantics. Exactly one of
-    flush_k (lq) / drain (sd) set; both None = prod (leaf refs on stack)."""
+    flush_k (lq) / drain (sd) set; both None = prod (leaf refs on stack).
+    pops>1 (sd only) expands that many internal nodes per iteration (the
+    dual-pop trick: they share the one vector->scalar extract), with the
+    second node's children pushed first so DFS order is preserved."""
     wn = np.asarray(bvh.wnode_packed)
     wn_i = wn.view(np.int32)
     leaf_v0 = np.asarray(bvh.leaf_v0)
@@ -123,7 +126,8 @@ def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None,
                     push_int.append(child)
         return push_int, push_leaf
 
-    c = dict(iters=0, int_pops=0, rows=0, row_slots=0, flushes=0, max_q=0)
+    c = dict(iters=0, int_pops=0, rows=0, row_slots=0, flushes=0, max_q=0,
+             kill_iter=0)
 
     if flush_k is None and drain is None:  # prod replay
         stack = [0]
@@ -154,13 +158,16 @@ def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None,
     stack, queue = [0], []
     while stack or queue:
         c["iters"] += 1
-        if stack:
-            ref = stack.pop()
+        # Pop up to `pops` refs FIRST (they share one extract), then expand;
+        # push deeper-node children LAST so DFS order survives (mirrors the
+        # dual kernel's push order).
+        refs = [stack.pop() for _ in range(min(pops, len(stack)))]
+        for ref in reversed(refs):
             c["int_pops"] += 1
             push_int, push_leaf = expand(ref)
             queue.extend(push_leaf)
             stack.extend(push_int)
-            c["max_q"] = max(c["max_q"], len(queue))
+        c["max_q"] = max(c["max_q"], len(queue))
         if drain is not None:
             take = min(len(queue), drain)
             c["row_slots"] += drain
@@ -168,7 +175,13 @@ def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None,
                 test_row(queue.pop())
                 c["rows"] += 1
             if any_hit and take and done.all():
-                break
+                if not natural:
+                    break
+                # natural termination (no alive extract): expands push
+                # nothing once every lane is done, so the walk drains the
+                # remaining stack/queue with masked work — count it
+                if c.get("kill_iter", 0) == 0:
+                    c["kill_iter"] = c["iters"]
         else:
             if len(queue) >= flush_k or (not stack and queue):
                 take = min(len(queue), W)
@@ -210,10 +223,13 @@ def main():
             print(f"-- {label} {tag} --")
             for v in variants:
                 kw = {}
-                if v.startswith("lq"):
-                    kw = dict(flush_k=int(v[2:]))
-                elif v.startswith("sd"):
-                    kw = dict(drain=int(v[2:]))
+                vv, natural = (v[:-1], True) if v.endswith("n") else (v, False)
+                if vv.startswith("lq"):
+                    kw = dict(flush_k=int(vv[2:]))
+                elif vv.startswith("sdd"):
+                    kw = dict(drain=int(vv[3:]), pops=2, natural=natural)
+                elif vv.startswith("sd"):
+                    kw = dict(drain=int(vv[2:]), natural=natural)
                 tot = None
                 for b in range(args.blocks):
                     sl = slice(b * 1024, (b + 1) * 1024)
@@ -221,12 +237,14 @@ def main():
                     tot = cc if tot is None else {
                         k: tot[k] + cc[k] for k in cc}
                 nb = args.blocks
-                print(f"  {v:5s} iters {tot['iters']/nb:7.1f}  "
+                kill = (f"  kill {tot['kill_iter']/nb:6.1f}"
+                        if tot.get("kill_iter") else "")
+                print(f"  {v:6s} iters {tot['iters']/nb:7.1f}  "
                       f"int {tot['int_pops']/nb:6.1f}  "
                       f"rows {tot['rows']/nb:6.1f}  "
                       f"slots {tot['row_slots']/nb:7.1f}  "
                       f"flush {tot['flushes']/nb:6.1f}  "
-                      f"maxq {tot['max_q']/nb:5.1f}", flush=True)
+                      f"maxq {tot['max_q']/nb:5.1f}{kill}", flush=True)
 
 
 if __name__ == "__main__":

@@ -2,9 +2,10 @@
 # Consolidated round-3 queued TPU measurements (replaces run_pending_tpu.sh
 # and run_pending_tpu2.sh, whose waiters were stopped before they ran).
 # Waits for the axon tunnel to come back, then runs in PRIORITY order:
-#   1. steady-drain kernel decision (prod vs sd1/sd2/sd3) — the CPU
-#      economics (tools/eval_lq.py) predict sd2 halves the dominant-front
-#      cost; this decides the production kernel.
+#   1. steady-drain kernel decision (prod vs sd2 vs dual-expand sdd3/sdd4)
+#      — the CPU economics (tools/eval_lq.py) predict sdd3 cuts the
+#      dominant-front iteration count 4.6x; this decides the production
+#      kernel.
 #   2. windowed live-lane compaction (wc8/wc16) — orthogonal iteration cut.
 #   3. leaf-queue lq8 + fat-leaf leaf24, for the record.
 # Logs to /tmp/pending_tpu3.log. Safe to re-run.
@@ -23,9 +24,9 @@ for i in $(seq 1 200); do
   if [ "$i" = 200 ]; then echo "GIVING UP" >> "$LOG"; exit 1; fi
 done
 
-echo "--- 1. bench_fronts prod,sd1,sd2,sd3 ---" >> "$LOG"
+echo "--- 1. bench_fronts prod,sd2,sdd3,sdd4 ---" >> "$LOG"
 timeout 5400 python tools/bench_fronts.py 512 \
-  --variants prod,sd1,sd2,sd3 >> "$LOG" 2>&1
+  --variants prod,sd2,sdd3,sdd4 >> "$LOG" 2>&1
 echo "--- 2. bench_fronts prod,wc8,wc16 ---" >> "$LOG"
 timeout 3600 python tools/bench_fronts.py 512 \
   --variants prod,wc8,wc16 >> "$LOG" 2>&1
