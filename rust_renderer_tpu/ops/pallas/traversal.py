@@ -135,6 +135,40 @@ def _leaf_tests_from_row(lrow, leaf_size, any_hit,
     return best_t, best_prim, best_u, best_v, done
 
 
+def _steady_drain(drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
+                  ox, oy, oz, dx, dy, dz, t_min, args,
+                  dma_leaf=False, rowbuf_ref=None, dma_sem=None):
+    """Test up to `drain` queued leaf rows (LIFO), surplus masked by valid.
+
+    DMA mode pipelines: all `drain` row fetches are STARTED before the
+    first wait (the row indices are all known up front), so the fetch
+    latencies overlap instead of serializing one start/wait per row."""
+    if dma_leaf:
+        dmas = []
+        for k in range(drain):
+            row_idx = queue_ref[jnp.maximum(q0 - 1 - k, 0)]
+            dma = pltpu.make_async_copy(
+                leaf_ref.at[pl.ds(jnp.maximum(row_idx, 0), 1)],
+                rowbuf_ref.at[pl.ds(k, 1)],
+                dma_sem.at[k],
+            )
+            dma.start()
+            dmas.append(dma)
+        for k in range(drain):
+            dmas[k].wait()
+            args = _leaf_tests_from_row(
+                rowbuf_ref[k], leaf_size, any_hit,
+                ox, oy, oz, dx, dy, dz, t_min, args, valid=q0 > k,
+            )
+        return args
+    for k in range(drain):
+        row_idx = queue_ref[jnp.maximum(q0 - 1 - k, 0)]
+        args = _leaf_tests(leaf_ref, row_idx, leaf_size, any_hit,
+                           ox, oy, oz, dx, dy, dz, t_min, args,
+                           valid=q0 > k)
+    return args
+
+
 def _make_kernel(leaf_size: int, any_hit: bool):
     def kernel(node_ref, leaf_ref, o_ref, d_ref, tlim_ref,
                t_out, prim_out, u_out, v_out):
@@ -834,23 +868,10 @@ def _make_kernel_wide_sd(leaf_size: int, any_hit: bool, drain: int,
         iz = 1.0 / safe(dz)
         degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
 
-        def leaf_tests(leaf, valid, args):
-            if dma_leaf:
-                dma = pltpu.make_async_copy(
-                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
-                    rowbuf_ref, dma_sem,
-                )
-                dma.start()
-                dma.wait()
-                return _leaf_tests_from_row(
-                    rowbuf_ref[0], leaf_size, any_hit,
-                    ox, oy, oz, dx, dy, dz, t_min, args, valid=valid,
-                )
-            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
-                               ox, oy, oz, dx, dy, dz, t_min, args,
-                               valid=valid)
-
         stack_ref[0] = jnp.int32(0)
+        # A drain on an empty queue reads slot 0 (index clamp) with its
+        # test masked — the slot must still hold an IN-BOUNDS row index.
+        queue_ref[0] = jnp.int32(0)
         zero_i = jnp.int32(0)
 
         def cond(state):
@@ -936,10 +957,17 @@ def _make_kernel_wide_sd(leaf_size: int, any_hit: bool, drain: int,
             # surplus masked by valid — straight-line, no cond.
             args = (best_t, best_prim, best_u, best_v, done)
             q0 = qn
-            for k in range(drain):
-                valid = q0 > k
-                row_idx = queue_ref[jnp.maximum(q0 - 1 - k, 0)]
-                args = leaf_tests(row_idx, valid, args)
+            if dma_leaf:
+                args = _steady_drain(
+                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                    dma_leaf=True, rowbuf_ref=rowbuf_ref, dma_sem=dma_sem,
+                )
+            else:
+                args = _steady_drain(
+                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                )
             take = jnp.minimum(q0, drain)
             qn = q0 - take
             rows = rows + take
@@ -1021,23 +1049,10 @@ def _make_kernel_wide_sdd(leaf_size: int, any_hit: bool, drain: int,
         iz = 1.0 / safe(dz)
         degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
 
-        def leaf_tests(leaf, valid, args):
-            if dma_leaf:
-                dma = pltpu.make_async_copy(
-                    leaf_ref.at[pl.ds(jnp.maximum(leaf, 0), 1)],
-                    rowbuf_ref, dma_sem,
-                )
-                dma.start()
-                dma.wait()
-                return _leaf_tests_from_row(
-                    rowbuf_ref[0], leaf_size, any_hit,
-                    ox, oy, oz, dx, dy, dz, t_min, args, valid=valid,
-                )
-            return _leaf_tests(leaf_ref, leaf, leaf_size, any_hit,
-                               ox, oy, oz, dx, dy, dz, t_min, args,
-                               valid=valid)
-
         stack_ref[0] = jnp.int32(0)
+        # A drain on an empty queue reads slot 0 (index clamp) with its
+        # test masked — the slot must still hold an IN-BOUNDS row index.
+        queue_ref[0] = jnp.int32(0)
         zero_i = jnp.int32(0)
 
         def cond(state):
@@ -1137,10 +1152,17 @@ def _make_kernel_wide_sdd(leaf_size: int, any_hit: bool, drain: int,
 
             args = (best_t, best_prim, best_u, best_v, done)
             q0 = qn
-            for k in range(drain):
-                valid = q0 > k
-                row_idx = queue_ref[jnp.maximum(q0 - 1 - k, 0)]
-                args = leaf_tests(row_idx, valid, args)
+            if dma_leaf:
+                args = _steady_drain(
+                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                    dma_leaf=True, rowbuf_ref=rowbuf_ref, dma_sem=dma_sem,
+                )
+            else:
+                args = _steady_drain(
+                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                )
             take = jnp.minimum(q0, drain)
             qn = q0 - take
             rows = rows + take
@@ -1663,10 +1685,16 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
     elif wide and steady_drain > 0 and not ordered:
         make = _make_kernel_wide_sdd if dual else _make_kernel_wide_sd
         kernel = make(leaf_size, any_hit, steady_drain, dma_leaf=dma_leaf)
+        # Pipelined drain: one row buffer + semaphore PER drained row so
+        # all fetches are in flight before the first wait (_steady_drain).
+        sd_dma = [
+            pltpu.VMEM((steady_drain, leaf_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((steady_drain,)),
+        ] if dma_leaf else []
         scratch = [
             pltpu.SMEM((stack_size,), jnp.int32),
             pltpu.SMEM((SD_QCAP,), jnp.int32),
-        ] + dma_scratch
+        ] + sd_dma
     elif wide and leaf_queue > 0 and not ordered:
         kernel = _make_kernel_wide_lq(leaf_size, any_hit, leaf_queue,
                                       dma_leaf=dma_leaf)
