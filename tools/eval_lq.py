@@ -199,6 +199,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=16)
     ap.add_argument("--leaf", type=int, default=12)
+    ap.add_argument("--scene", default="default",
+                    choices=["default", "sponza"])
     ap.add_argument("--variants",
                     default="prod,lq4,lq8,lq12,sd1,sd2,sd3")
     args = ap.parse_args()
@@ -207,7 +209,11 @@ def main():
     cam_eye = [-10.28, 2.10, -0.18]
     cam_look = [0.0, 0.5, 0.0]
     cam = rt.Camera(cam_eye, cam_look, aspect_ratio=1.0)
-    create_scene(r, cam)
+    if args.scene == "sponza":
+        from rust_renderer_tpu.models import create_sponza_scale_scene
+        create_sponza_scale_scene(r, cam)
+    else:
+        create_scene(r, cam)
     scene = r.pack()
     pos = np.asarray(scene.positions)
     idx = np.asarray(scene.indices)
