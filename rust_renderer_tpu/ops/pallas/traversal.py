@@ -810,12 +810,13 @@ def _make_kernel_wide_lq(leaf_size: int, any_hit: bool, flush_k: int,
     return kernel
 
 
-SD_QCAP = 512  # steady-drain SMEM leaf-queue capacity. Queue growth is
-               # drain-rate-bound, not statically bound: drain=1 cannot keep
-               # up on camera fronts (measured mean peak 229/block, tools/
-               # eval_lq.py) — use drain >= 2 (mean peak 65). Writes clamp at
-               # SD_QCAP-1 (overflow would drop rows, never corrupt); the
-               # TPU sweep test asserts peak < SD_QCAP // 2.
+SD_QCAP = 1024  # steady-drain SMEM leaf-queue capacity (4 KB SMEM). Queue
+                # growth is drain-rate-bound, not statically bound: drain=1
+                # cannot keep up on camera fronts (mean peak 229/block,
+                # tools/eval_lq.py) — use drain >= 2. Sponza-scale camera
+                # fronts reach mean peak 266 under sdd3, hence 1024. Writes
+                # clamp at SD_QCAP-1 (overflow would drop rows, never
+                # corrupt); the TPU sweep test asserts peak < SD_QCAP // 2.
 
 
 def _make_kernel_wide_sd(leaf_size: int, any_hit: bool, drain: int,
