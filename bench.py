@@ -93,18 +93,60 @@ def run_workload(metric: str, scene_fn, width: int, height: int,
     }
 
 
+def _wait_for_device(budget_s: float) -> bool:
+    """Wait (bounded) for the axon TPU tunnel. A bare jax.devices() HANGS
+    while the tunnel is down (it does not error), so probe in a subprocess
+    with its own timeout. Returns True when a non-CPU device answers;
+    after the budget, let the workloads run anyway (they fault -> the
+    emit() guard reports zero lines, same as without the wait)."""
+    import subprocess
+
+    probe = ("import jax; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu', d")
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", probe], timeout=180,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return True
+        if time.monotonic() >= deadline:
+            print(f"bench: no TPU after {attempt} probes; emitting zero "
+                  "lines", file=sys.stderr, flush=True)
+            return False
+        time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
+
+
 def main() -> int:
     from rust_renderer_tpu.models.scenes import (
         create_scene,
         create_sponza_scale_scene,
     )
 
+    device_up = _wait_for_device(
+        float(os.environ.get("RR_BENCH_WAIT_S", "1800")))
     small = os.environ.get("RR_BENCH_SMALL") == "1"
     width, height = (512, 512) if small else (1920, 1080)
 
     def emit(metric, *args, **kw):
         # A workload that faults the TPU worker must not take the earlier
-        # metric lines (or the driver's JSON parse) down with it.
+        # metric lines (or the driver's JSON parse) down with it. With the
+        # tunnel down, first device use HANGS (no error to catch) — emit
+        # parseable zero lines instead of hanging until the driver kills us.
+        if not device_up:
+            print(json.dumps({
+                "metric": metric, "value": 0.0, "unit": "fps",
+                "vs_baseline": 0.0,
+                "detail": {"error": "tpu tunnel down (RR_BENCH_WAIT_S "
+                                    "exhausted)"},
+            }), flush=True)
+            return
         try:
             print(json.dumps(run_workload(metric, *args, **kw)), flush=True)
         except Exception as e:  # noqa: BLE001 — report, don't crash the bench
