@@ -227,6 +227,13 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           steady_drain=int(v[2:]))
+        if v.startswith("wsd"):
+            # windowed compaction ON TOP of the dual-expand steady-drain
+            # kernel — the composition candidate if both win alone
+            from rust_renderer_tpu.ops import compaction
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
+                method="sort", any_hit=any_hit, dual=True, steady_drain=3)
         if v.startswith("wc"):
             # windowed live-lane compaction (wc8 = 8-block windows, sort
             # moves; wcg8 = scatter/gather moves); the in-graph permutation

@@ -27,9 +27,9 @@ done
 echo "--- 1. bench_fronts prod,sd2,sdd3,sdd4 ---" >> "$LOG"
 timeout 5400 python tools/bench_fronts.py 512 \
   --variants prod,sd2,sdd3,sdd4 >> "$LOG" 2>&1
-echo "--- 2. bench_fronts prod,wc8,wc16 ---" >> "$LOG"
+echo "--- 2. bench_fronts prod,wc8,wsd8,wsd16 ---" >> "$LOG"
 timeout 3600 python tools/bench_fronts.py 512 \
-  --variants prod,wc8,wc16 >> "$LOG" 2>&1
+  --variants prod,wc8,wsd8,wsd16 >> "$LOG" 2>&1
 echo "--- 3. bench_fronts prod,lq8,leaf24 ---" >> "$LOG"
 timeout 3600 python tools/bench_fronts.py 512 \
   --variants prod,lq8,leaf24 >> "$LOG" 2>&1
