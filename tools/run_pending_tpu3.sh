@@ -24,9 +24,9 @@ for i in $(seq 1 200); do
   if [ "$i" = 200 ]; then echo "GIVING UP" >> "$LOG"; exit 1; fi
 done
 
-echo "--- 1. bench_fronts prod,sd2,sdd3,sdd4 ---" >> "$LOG"
+echo "--- 1. bench_fronts prod,sd2,sdd2,sdd3,sdd4 ---" >> "$LOG"
 timeout 5400 python tools/bench_fronts.py 512 \
-  --variants prod,sd2,sdd3,sdd4 >> "$LOG" 2>&1
+  --variants prod,sd2,sdd2,sdd3,sdd4 >> "$LOG" 2>&1
 echo "--- 2. bench_fronts prod,wc8,wsd8,wsd16 ---" >> "$LOG"
 timeout 3600 python tools/bench_fronts.py 512 \
   --variants prod,wc8,wsd8,wsd16 >> "$LOG" 2>&1
