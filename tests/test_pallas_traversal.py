@@ -194,6 +194,11 @@ def test_pallas_steady_drain_matches():
     np.testing.assert_array_equal(np.asarray(p3), np.asarray(p2))
     np.testing.assert_allclose(np.asarray(t3)[hit], np.asarray(t2)[hit],
                                rtol=1e-6)
+    # any-hit sdd runs to natural drain-out (no alive bit) — same hits
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, steady_drain=3,
+                                    dual=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
 
 
 @pytest.mark.slow
