@@ -1096,7 +1096,7 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
 
 def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                      wide: bool = True, ordered: bool = False,
-                     compact_window: int = 0):
+                     compact_window: int = 0, steady_drain: int = 3):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
@@ -1106,8 +1106,16 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     children near-first). sort=True re-orders rays for coherence.
     compact_window=N (N>=2) applies windowed live-lane compaction on the
     Pallas path (ops/compaction.py) — late bounce fronts with clustered
-    dead lanes skip whole blocks."""
+    dead lanes skip whole blocks.
+    steady_drain=D (default 3) selects the dual-expand steady-drain kernel
+    (_make_kernel_wide_sdd): each iteration retires up to 32 boxes + D
+    queued leaf rows per vector->scalar extract. TPU-measured round 3
+    (tools/bench_fronts.py, real captured fronts): beats the cond-guarded
+    pop kernel on every bounce front (closest b1-b4 sum 224->205 ms plain;
+    183 ms composed with compact_window=16). steady_drain=0 restores the
+    round-2 kernel."""
     trav = _pick_traversal(bvh, packet, sort, wide, ordered,
+                           dual=steady_drain > 0, steady_drain=steady_drain,
                            compact_window=compact_window)
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
@@ -1128,15 +1136,16 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
 
 def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  wide: bool = True, ordered: bool = False,
-                 compact_window: int = 0):
-    # dual=True: any-hit walks have no best_t culling, so the dual-pop
-    # kernel's two-pops-per-extract latency amortization is a pure win —
-    # 5-10% faster than the previous multi=4 interleaving on every real
-    # captured NEE front (tools/bench_fronts.py round 3: b0 20.7 -> 18.6,
-    # b1 65.4 -> 59.8, b4 46.1 -> 43.6 ms). Closest-hit keeps single-pop:
-    # the pair-pop's breadth creep delays best_t tightening and measured
-    # 5-8% MORE expensive there even with DFS-preserving push order.
+                 compact_window: int = 0, steady_drain: int = 3):
+    # steady_drain=3 + dual: the dual-expand steady-drain kernel
+    # (_make_kernel_wide_sdd) — two 16-bit child masks fill the one
+    # extracted int32, leaf rows drain LIFO D-per-iteration with no
+    # lax.cond anywhere. TPU-measured round 3 on every real captured NEE
+    # front (tools/bench_fronts.py): anyhit b1-b4 sum 238->206 ms plain,
+    # 163 ms composed with compact_window=16. steady_drain=0 restores the
+    # round-2 dual-pop kernel (two cond-guarded pops per extract).
     trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True,
+                           steady_drain=steady_drain,
                            compact_window=compact_window)
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):

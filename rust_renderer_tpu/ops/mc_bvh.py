@@ -351,12 +351,12 @@ def _dyn_traverse(dyn: DynamicScene, origin, direction, t_min, t_max,
     if mode != "none":
         from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
-        # dual=True on any-hit only: same tradeoff as ops/bvh.py's
-        # make_any_hit (two stack pops share one vector->scalar extract;
-        # closest-hit prefers strict DFS order).
+        # dual-expand steady drain (steady_drain=3, dual=True): the round-3
+        # TPU-measured production kernel for both modes (same verdict as
+        # ops/bvh.py make_closest_hit/make_any_hit — tools/bench_fronts.py).
         return traverse_packet_pallas(
             dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit,
-            wide=True, dma_leaf=(mode == "dma"), dual=any_hit,
+            wide=True, dma_leaf=(mode == "dma"), dual=True, steady_drain=3,
         )
     return bvh_ops.traverse_packet(
         dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit
