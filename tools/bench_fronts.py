@@ -169,12 +169,21 @@ def main():
     variants = args.variants.split(",")
     # leafN variants trade deeper walks for fatter leaf rows (a 24-slot row
     # is 240 cols = two VMEM lane tiles; the kernels are width-generic).
+    # lsdN = leafN tree + the sdd3 steady-drain kernel; wlsdN = that plus
+    # 16-block windowed compaction (the full round-3 production composition
+    # on a fatter-leaf tree).
+    def _leaf_n(v):
+        for p in ("wlsd", "lsd", "leaf"):
+            if v.startswith(p):
+                return int(v[len(p):])
+        return None
+
     alt_trees = {
-        int(v[4:]): bvhmod.build_bvh(
+        ln: bvhmod.build_bvh(
             np.asarray(scene.positions), np.asarray(scene.indices),
-            leaf_size=int(v[4:]),
+            leaf_size=ln,
         )
-        for v in variants if v.startswith("leaf")
+        for ln in {_leaf_n(v) for v in variants} - {None}
     }
 
     if args.stats:
@@ -249,8 +258,20 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           mask_via_vmem=True)
+        if v.startswith("wlsd"):
+            # leafN tree + sdd3 + 16-block windowed compaction — the full
+            # production composition with a fatter leaf row
+            from rust_renderer_tpu.ops import compaction
+            return compaction.traverse_compacted(
+                alt_trees[int(v[4:])], o, d, tmin, tmax, window_blocks=16,
+                method="sort", any_hit=any_hit, dual=True, steady_drain=3)
+        if v.startswith("lsd"):
+            # leafN tree + the sdd3 steady-drain kernel (no compaction)
+            return traverse_packet_pallas(alt_trees[int(v[3:])], o, d,
+                                          tmin, tmax, any_hit=any_hit,
+                                          dual=True, steady_drain=3)
         if v.startswith("leaf"):
-            # production kernel settings per mode (anyhit = dual-pop)
+            # round-2 production kernel settings per mode (anyhit = dual-pop)
             return traverse_packet_pallas(alt_trees[int(v[4:])], o, d,
                                           tmin, tmax, any_hit=any_hit,
                                           dual=any_hit)
