@@ -48,6 +48,11 @@ class Application:
         cfg: StaticConfig | None = None,
         sanitize: bool = False,
     ):
+        # Repeated graph structures (mode switches, restarts, bench runs)
+        # compile once ever — utils/compile_cache.py for the measurements.
+        from rust_renderer_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = (cfg or StaticConfig()).replace(width=width, height=height)
         self.renderer = rt.Renderer()
         self.camera = rt.Camera(

@@ -374,6 +374,11 @@ def build_path_tracing_render_graph(
         .write("pt_output").write("accumulation_image").write("pt_rays")
         .render(reference_pt)
     )
+    if getattr(cfg, "split_pt_program", False):
+        # Own XLA program: the bounce loop dominates the monolithic frame
+        # program's remote-compile time, so isolating it shrinks every
+        # structure variant's compile (StaticConfig.split_pt_program).
+        builder.isolate()
     for name in mc_reads:
         builder.read(name)
     builder.build()

@@ -73,6 +73,16 @@ class StaticConfig:
     # the steady-drain kernel it cuts every bounce front 1.3-1.8x and
     # costs the 100%-live camera front ~1 ms of sort.
     compact_window: int = 16
+    # Split the PT frame into separate XLA programs at the reference_pt
+    # boundary (gbuffer+ReSTIR | bounce loop | present) via
+    # PassBuilder.isolate. MEASURED AND REJECTED as a compile-latency fix
+    # (tools/bench_compile_split.py, 1080p): total compile 81 -> 105 s and
+    # steady frame 3.54 -> 8.64 s — the boundary materializes every
+    # intermediate and kills cross-pass fusion. Kept for experiments; the
+    # shipped fix is the persistent compilation cache
+    # (utils/compile_cache.py: repeated structures are ~free across
+    # processes).
+    split_pt_program: bool = False
 
     def replace(self, **kw: Any) -> "StaticConfig":
         return dataclasses.replace(self, **kw)

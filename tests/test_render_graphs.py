@@ -108,6 +108,28 @@ def test_pt_graph_accumulation_persists(setup):
     assert acc.mean() > outs[0].mean() * 0.8
 
 
+def test_pt_graph_split_program_bit_identical(setup):
+    """StaticConfig.split_pt_program only changes XLA program boundaries
+    (PassBuilder.isolate on reference_pt) — two frames must match the fused
+    graph bit for bit, including the persistent reservoir feedback."""
+    _, cam, scene, b, view, sun = setup
+
+    def run(cfg):
+        g = rt.Graph()
+        outs = []
+        for f in range(1, 3):
+            g.new_frame(); g.clear()
+            build_path_tracing_render_graph(g, cfg, cam, b, sun)
+            res = g.render(scene, view.replace(total_samples=jnp.uint32(f)))
+            outs.append(np.asarray(res["present_output"]))
+        return outs
+
+    fused = run(CFG)
+    split = run(CFG.replace(split_pt_program=True))
+    for a, c in zip(fused, split):
+        np.testing.assert_array_equal(a, c)
+
+
 def test_application_mode_switching():
     cfg = StaticConfig(
         width=W, height=H, shadow_map_size=64, cubemap_size=32, cubemap_mips=3,
