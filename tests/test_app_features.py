@@ -85,3 +85,29 @@ def test_to_uint8_clamps():
     img = np.array([[[-1.0, 0.5, 2.0]]], np.float32)
     out = to_uint8(img)
     assert out[0, 0, 0] == 0 and out[0, 0, 2] == 255
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """enable_persistent_cache points jax at the configured directory, is
+    idempotent, and honors the RR_NO_COMPILE_CACHE kill switch."""
+    import jax
+
+    from rust_renderer_tpu.utils import compile_cache
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setattr(compile_cache, "_enabled", False)
+        monkeypatch.setenv("RR_COMPILE_CACHE", str(tmp_path / "xla"))
+        assert compile_cache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+        assert os.path.isdir(str(tmp_path / "xla"))
+        assert compile_cache.enable_persistent_cache()  # idempotent
+
+        monkeypatch.setattr(compile_cache, "_enabled", False)
+        monkeypatch.setenv("RR_NO_COMPILE_CACHE", "1")
+        assert not compile_cache.enable_persistent_cache()
+    finally:
+        # jax.config is process-global: don't leave later tests writing
+        # cache entries into this (deleted) tmp_path.
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        compile_cache._enabled = False
