@@ -112,21 +112,25 @@ def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     pack, unpack = _lane_maps(shape)
     ox, oy, oz = (pack(origin[..., k]) for k in range(3))
     dx, dy, dz = (pack(direction[..., k]) for k in range(3))
-    tmx = pack(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape))
+    # A scalar t_max (the closest-hit case) needs no per-lane channel — one
+    # fewer operand through both sorts.
+    tmax_scalar = jnp.ndim(t_max) == 0
+    tmx = (None if tmax_scalar
+           else pack(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)))
     live = (dx * dx + dy * dy + dz * dz) > 0.0
 
     if method == "sort":
         dead_key = jnp.logical_not(live).astype(jnp.int32).reshape(-1, window)
         src_idx = jax.lax.broadcasted_iota(jnp.int32, (n // window, window), 1)
-        ins = tuple(a.reshape(-1, window)
-                    for a in (ox, oy, oz, dx, dy, dz, tmx))
+        chans = (ox, oy, oz, dx, dy, dz) + (() if tmax_scalar else (tmx,))
+        ins = tuple(a.reshape(-1, window) for a in chans)
         sorted_all = jax.lax.sort(
             (dead_key, src_idx) + ins, dimension=1, num_keys=2,
             is_stable=False)  # (dead, src_idx) is already a total order
         src_c = sorted_all[1]
         o_c = jnp.stack([a.reshape(n) for a in sorted_all[2:5]], -1)
         d_c = jnp.stack([a.reshape(n) for a in sorted_all[5:8]], -1)
-        tmax_c = sorted_all[8].reshape(n)
+        tmax_c = t_max if tmax_scalar else sorted_all[8].reshape(n)
 
         t, prim, u, v = trav(bvh, o_c, d_c, t_min, tmax_c, **kw)
         outs = tuple(a.reshape(-1, window) for a in
@@ -138,14 +142,15 @@ def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         return (unpack(t_o), unpack(prim_o), unpack(u_o), unpack(v_o))
 
     fwd = window_forward_map(live, window)
+    zero = jnp.zeros((n,), jnp.float32)
     rows = jnp.stack(
-        [ox, oy, oz, dx, dy, dz, tmx, jnp.zeros((n,), jnp.float32)],
+        [ox, oy, oz, dx, dy, dz, zero if tmax_scalar else tmx, zero],
         axis=1,
     )
     rows_c = jnp.zeros_like(rows).at[fwd].set(rows, unique_indices=True)
     o_c = rows_c[:, 0:3]
     d_c = rows_c[:, 3:6]
-    tmax_c = rows_c[:, 6]
+    tmax_c = t_max if tmax_scalar else rows_c[:, 6]
 
     t, prim, u, v = trav(bvh, o_c, d_c, t_min, tmax_c, **kw)
     out = jnp.stack(

@@ -139,6 +139,32 @@ class Surface(NamedTuple):
     mesh: jax.Array  # (...,) i32 (gpu mesh id; -1 for spheres)
 
 
+def _shade_table(scene) -> jax.Array:
+    """(T, 17) per-TRIANGLE shading rows: [n0 n1 n2 | uv0 uv1 uv2 |
+    material mesh] (ints bitcast to f32).
+
+    surface_at_hit previously fetched these through EIGHT dependent
+    per-attribute gathers per sample site (indices, 3x normals, 3x uvs,
+    tri_mesh, mesh_material) — 48 ms/bounce at 1080p, with the 1-wide
+    tri_mesh gather alone a 14.8 ms table scan (round-3 frame trace). One
+    packed row per hit triangle is the proven fast shape (ops/gather.py).
+    Scene-dependent only, so XLA hoists the build out of the bounce scan."""
+    from rust_renderer_tpu.ops.gather import bitcast_f32
+
+    idx = scene.indices
+    i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+    material = scene.mesh_material[scene.tri_mesh]
+    return jnp.concatenate(
+        [
+            scene.normals[i0], scene.normals[i1], scene.normals[i2],
+            scene.uvs[i0], scene.uvs[i1], scene.uvs[i2],
+            bitcast_f32(material)[:, None],
+            bitcast_f32(scene.tri_mesh)[:, None],
+        ],
+        axis=1,
+    )
+
+
 def surface_at_hit(scene, hit: Hit, origin, direction) -> Surface:
     """Gather + interpolate vertex attributes at hits (reference.rchit:25-41).
     Safe to call on miss lanes (returns garbage there; mask downstream)."""
@@ -146,20 +172,20 @@ def surface_at_hit(scene, hit: Hit, origin, direction) -> Surface:
     has_tris = scene.indices.shape[0] > 0
 
     if has_tris:
-        ids = scene.indices[prim]  # (..., 3)
-        n0 = scene.normals[ids[..., 0]]
-        n1 = scene.normals[ids[..., 1]]
-        n2 = scene.normals[ids[..., 2]]
+        from rust_renderer_tpu.ops.gather import bitcast_i32, row_gather
+
+        shape = hit.t.shape
+        rows = row_gather(_shade_table(scene), prim.reshape(-1)).reshape(
+            shape + (17,))
+        n0, n1, n2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
         w0 = (1.0 - hit.u - hit.v)[..., None]
         w1 = hit.u[..., None]
         w2 = hit.v[..., None]
         tri_normal = rayops.normalize(n0 * w0 + n1 * w1 + n2 * w2)
-        uv0 = scene.uvs[ids[..., 0]]
-        uv1 = scene.uvs[ids[..., 1]]
-        uv2 = scene.uvs[ids[..., 2]]
+        uv0, uv1, uv2 = rows[..., 9:11], rows[..., 11:13], rows[..., 13:15]
         tri_uv = uv0 * w0[..., :1] + uv1 * w1[..., :1] + uv2 * w2[..., :1]
-        tri_mesh = scene.tri_mesh[prim]
-        tri_material = scene.mesh_material[tri_mesh]
+        tri_material = bitcast_i32(rows[..., 15])
+        tri_mesh = bitcast_i32(rows[..., 16])
     else:
         tri_normal = jnp.zeros(hit.t.shape + (3,), jnp.float32)
         tri_uv = jnp.zeros(hit.t.shape + (2,), jnp.float32)

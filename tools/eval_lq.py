@@ -41,7 +41,7 @@ from tools.eval_tree import make_fronts  # noqa: E402
 
 
 def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None, pops=1,
-                natural=False, t_max=1e4, t_min=1e-3):
+                natural=False, t_max=1e4, t_min=1e-3, return_state=False):
     """Replay of the wide walk with leaf-queue semantics. Exactly one of
     flush_k (lq) / drain (sd) set; both None = prod (leaf refs on stack).
     pops>1 (sd only) expands that many internal nodes per iteration (the
@@ -153,7 +153,7 @@ def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None, pops=1,
                     stack.append(child)
                 elif child >= 0 and child in push_int:
                     stack.append(child)
-        return c
+        return (c, best_t, done) if return_state else c
 
     stack, queue = [0], []
     while stack or queue:
@@ -192,7 +192,7 @@ def walk_queued(bvh, o, d, any_hit, flush_k=None, drain=None, pops=1,
                     c["rows"] += 1
                 if any_hit and done.all():
                     break
-    return c
+    return (c, best_t, done) if return_state else c
 
 
 def main():
