@@ -1072,7 +1072,8 @@ def _pallas_eligible(bvh: BVH, wide: bool = True) -> bool:
 def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     wide: bool = True, ordered: bool = False,
                     multi: int = 1, dual: bool = False,
-                    compact_window: int = 0, steady_drain: int = 0):
+                    compact_window: int = 0, steady_drain: int = 0,
+                    drain_first: bool = False):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -1084,7 +1085,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
         trav = functools.partial(traverse_packet_pallas, wide=wide,
                                  ordered=ordered, dma_leaf=(mode == "dma"),
                                  multi=multi, dual=dual,
-                                 steady_drain=steady_drain)
+                                 steady_drain=steady_drain,
+                                 drain_first=drain_first)
         if compact_window > 1:
             from rust_renderer_tpu.ops.compaction import traverse_compacted
 
@@ -1144,9 +1146,12 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     # front (tools/bench_fronts.py): anyhit b1-b4 sum 238->206 ms plain,
     # 163 ms composed with compact_window=16. steady_drain=0 restores the
     # round-2 dual-pop kernel (two cond-guarded pops per extract).
+    # drain_first: leaf rows drain BEFORE the expand — measured -2..-12%
+    # on every real any-hit front (wash on closest, so only wired here).
     trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True,
                            steady_drain=steady_drain,
-                           compact_window=compact_window)
+                           compact_window=compact_window,
+                           drain_first=steady_drain > 0)
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)

@@ -133,6 +133,16 @@ def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         tmax_c = t_max if tmax_scalar else sorted_all[8].reshape(n)
 
         t, prim, u, v = trav(bvh, o_c, d_c, t_min, tmax_c, **kw)
+        if kw.get("any_hit", False):
+            # Occlusion queries consume only `prim >= 0` (make_any_hit) —
+            # restore one channel instead of four; t/u/v are returned as
+            # zeros (documented garbage, same as dead lanes).
+            restored = jax.lax.sort(
+                (src_c, prim.reshape(-1, window)), dimension=1, num_keys=1,
+                is_stable=False)
+            prim_o = restored[1].reshape(n)
+            zero = jnp.zeros(shape, jnp.float32)
+            return (zero, unpack(prim_o), zero, zero)
         outs = tuple(a.reshape(-1, window) for a in
                      (t.reshape(n), prim.reshape(n), u.reshape(n),
                       v.reshape(n)))

@@ -354,9 +354,12 @@ def _dyn_traverse(dyn: DynamicScene, origin, direction, t_min, t_max,
         # dual-expand steady drain (steady_drain=3, dual=True): the round-3
         # TPU-measured production kernel for both modes (same verdict as
         # ops/bvh.py make_closest_hit/make_any_hit — tools/bench_fronts.py).
+        # drain_first on occlusion queries only (measured -2..-12% on
+        # any-hit fronts, wash on closest — ops/bvh.py make_any_hit).
         return traverse_packet_pallas(
             dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit,
             wide=True, dma_leaf=(mode == "dma"), dual=True, steady_drain=3,
+            drain_first=any_hit,
         )
     return bvh_ops.traverse_packet(
         dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit

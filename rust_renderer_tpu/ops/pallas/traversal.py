@@ -1005,7 +1005,7 @@ def _make_kernel_wide_sd(leaf_size: int, any_hit: bool, drain: int,
 
 
 def _make_kernel_wide_sdd(leaf_size: int, any_hit: bool, drain: int,
-                          dma_leaf: bool = False):
+                          dma_leaf: bool = False, drain_first: bool = False):
     """Dual-expand steady-drain: TWO internal expands + `drain` leaf-row
     tests per iteration, all straight-line, ONE vector->scalar extract.
 
@@ -1059,9 +1059,37 @@ def _make_kernel_wide_sdd(leaf_size: int, any_hit: bool, drain: int,
         def cond(state):
             return jnp.logical_or(state[0] > 0, state[1] > 0)
 
+        def do_drain(qn, best_t, best_prim, best_u, best_v, done, rows):
+            args = (best_t, best_prim, best_u, best_v, done)
+            q0 = qn
+            if dma_leaf:
+                args = _steady_drain(
+                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                    dma_leaf=True, rowbuf_ref=rowbuf_ref, dma_sem=dma_sem,
+                )
+            else:
+                args = _steady_drain(
+                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
+                    ox, oy, oz, dx, dy, dz, t_min, args,
+                )
+            take = jnp.minimum(q0, drain)
+            return (q0 - take, *args, rows + take)
+
         def body(state):
             (sp, qn, best_t, best_prim, best_u, best_v, done, pops,
              rows, max_q) = state
+            if drain_first:
+                # Drain the PREVIOUS iteration's queue before expanding:
+                # the expand culls against the freshest best_t, and the
+                # scalar extract at the end of the body overlaps the next
+                # iteration's leaf vector work instead of serializing ahead
+                # of this one's. Row tests land one iteration later than
+                # drain-last — the same deferral class (tie-resolution
+                # only; exactness tested).
+                (qn, best_t, best_prim, best_u, best_v, done,
+                 rows) = do_drain(qn, best_t, best_prim, best_u, best_v,
+                                  done, rows)
             active_a = sp > 0
             active_b = sp > 1
             ref_a = jnp.where(active_a, stack_ref[jnp.maximum(sp - 1, 0)],
@@ -1151,23 +1179,10 @@ def _make_kernel_wide_sdd(leaf_size: int, any_hit: bool, drain: int,
                     sp = sp + int_bit
             max_q = jnp.maximum(max_q, qn)
 
-            args = (best_t, best_prim, best_u, best_v, done)
-            q0 = qn
-            if dma_leaf:
-                args = _steady_drain(
-                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
-                    ox, oy, oz, dx, dy, dz, t_min, args,
-                    dma_leaf=True, rowbuf_ref=rowbuf_ref, dma_sem=dma_sem,
-                )
-            else:
-                args = _steady_drain(
-                    drain, q0, queue_ref, leaf_ref, leaf_size, any_hit,
-                    ox, oy, oz, dx, dy, dz, t_min, args,
-                )
-            take = jnp.minimum(q0, drain)
-            qn = q0 - take
-            rows = rows + take
-            best_t, best_prim, best_u, best_v, done = args
+            if not drain_first:
+                (qn, best_t, best_prim, best_u, best_v, done,
+                 rows) = do_drain(qn, best_t, best_prim, best_u, best_v,
+                                  done, rows)
             return (sp, qn, best_t, best_prim, best_u, best_v, done,
                     pops, rows, max_q)
 
@@ -1639,13 +1654,13 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
     static_argnames=(
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
         "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
-        "steady_drain",
+        "steady_drain", "drain_first",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
          dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False,
-         steady_drain=0):
+         steady_drain=0, drain_first=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -1685,7 +1700,9 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         scratch = [pltpu.SMEM((nb, stack_size), jnp.int32)] + dma_scratch
     elif wide and steady_drain > 0 and not ordered:
         make = _make_kernel_wide_sdd if dual else _make_kernel_wide_sd
-        kernel = make(leaf_size, any_hit, steady_drain, dma_leaf=dma_leaf)
+        kw = {"drain_first": drain_first} if dual else {}
+        kernel = make(leaf_size, any_hit, steady_drain, dma_leaf=dma_leaf,
+                      **kw)
         # Pipelined drain: one row buffer + semaphore PER drained row so
         # all fetches are in flight before the first wait (_steady_drain).
         sd_dma = [
@@ -1737,7 +1754,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            multi: int = 1, dma_leaf: bool = False,
                            dual: bool = False, stats: bool = False,
                            leaf_queue: int = 0, mask_via_vmem: bool = False,
-                           steady_drain: int = 0):
+                           steady_drain: int = 0, drain_first: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -1819,6 +1836,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,
         dual=dual, stats=stats, leaf_queue=leaf_queue,
         mask_via_vmem=mask_via_vmem, steady_drain=steady_drain,
+        drain_first=drain_first,
     )
     if stats:
         t, prim, u, v, st = out

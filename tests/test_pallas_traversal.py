@@ -199,6 +199,15 @@ def test_pallas_steady_drain_matches():
     ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, steady_drain=3,
                                     dual=True)
     np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+    # drain-FIRST sdd: rows drain one iteration later — still exact
+    t4, p4, _, _ = _pallas_traverse(b, o, d, steady_drain=2, dual=True,
+                                    drain_first=True)
+    np.testing.assert_array_equal(np.asarray(p4), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(t4)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, steady_drain=3,
+                                    dual=True, drain_first=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
 
 
 @pytest.mark.slow
@@ -348,6 +357,20 @@ def test_windowed_compaction_matches():
         np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t0)[hit],
                                    rtol=1e-6)
         assert np.all(np.asarray(p1)[::3] == -1)
+
+    # occlusion flavor: only prim is restored (t/u/v documented zeros)
+    ta0, pa0, _, _ = _pallas_traverse(b, o, d, any_hit=True)
+    if jax.devices()[0].platform == "cpu":
+        ptrav.pl.pallas_call = patched
+        try:
+            _, pa1, _, _ = compaction.traverse_compacted(
+                b, o, d, window_blocks=2, method="sort", any_hit=True)
+        finally:
+            ptrav.pl.pallas_call = orig
+    else:
+        _, pa1, _, _ = compaction.traverse_compacted(
+            b, o, d, window_blocks=2, method="sort", any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pa1) >= 0, np.asarray(pa0) >= 0)
 
 
 def test_window_forward_map():

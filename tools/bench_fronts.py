@@ -225,6 +225,14 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           leaf_queue=int(v[2:]))
+        if v.startswith("sddf"):
+            # drain-FIRST dual-expand steady drain: leaf rows drained before
+            # the expand (freshest best_t for culling; extract overlaps the
+            # next iteration's leaf vector work)
+            return traverse_packet_pallas(bvh, o, d, tmin, tmax,
+                                          any_hit=any_hit, dual=True,
+                                          steady_drain=int(v[4:]),
+                                          drain_first=True)
         if v.startswith("sdd"):
             # dual-expand steady drain: 2 expands + D rows per extract
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
@@ -236,6 +244,13 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           steady_drain=int(v[2:]))
+        if v.startswith("wsdf"):
+            # windowed compaction + drain-first sdd3
+            from rust_renderer_tpu.ops import compaction
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(v[4:]),
+                method="sort", any_hit=any_hit, dual=True, steady_drain=3,
+                drain_first=True)
         if v.startswith("wsd"):
             # windowed compaction ON TOP of the dual-expand steady-drain
             # kernel — the composition candidate if both win alone
