@@ -80,13 +80,19 @@ def _nee(scene, view, any_hit, rng_state, origin, throughput, active,
     light_dir = to_light / jnp.maximum(distance_to_light, 1e-12)[..., None]
 
     # -- one batched occlusion query: [sun rays; light rays]. Dead lanes get
-    # zero directions so their packets retire instantly.
-    am = active[..., None]
+    # zero directions so their packets retire instantly. A light ray whose
+    # contribution is already known zero (invalid reservoir/selection, or
+    # lights globally off) is equally dead: its occlusion result is masked
+    # by `take` below, so zeroing it is exact and lets compaction drop it.
+    sun_live = jnp.logical_and(active, view.sun_shadow_enabled == 1)[..., None]
+    light_live = jnp.logical_and(
+        jnp.logical_and(active, valid), view.lights_enabled == 1
+    )[..., None]
     o2 = jnp.concatenate([origin, origin], axis=0)
     d2 = jnp.concatenate(
         [
-            jnp.where(am, jnp.broadcast_to(sun_dir, origin.shape), 0.0),
-            jnp.where(am, light_dir, 0.0),
+            jnp.where(sun_live, jnp.broadcast_to(sun_dir, origin.shape), 0.0),
+            jnp.where(light_live, light_dir, 0.0),
         ],
         axis=0,
     )
