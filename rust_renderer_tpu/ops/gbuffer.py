@@ -34,6 +34,34 @@ class GBuffer(NamedTuple):
     depth: jax.Array  # (H, W) ndc z (1 = far)
 
 
+def _gbuffer_table(scene) -> jax.Array:
+    """(T, 40) per-TRIANGLE shading rows: [p0 p1 p2 | n0 n1 n2 | uv0 uv1
+    uv2 | t0 t1 t2 (xyzw) | material mesh] (ints bitcast to f32).
+
+    _shade previously fetched these through FOURTEEN per-attribute gathers
+    per pixel (indices, 3x positions/normals/uvs/tangents, tri_mesh,
+    mesh_material) — ~33 ms for the indices gather alone at 1080p plus a
+    15 ms 1-wide tri_mesh table scan (round-3 raster trace). One packed row
+    per covered triangle is the proven fast shape (ops/gather.py). Scene-
+    dependent only, so it is shared/hoisted by XLA across call sites."""
+    from rust_renderer_tpu.ops.gather import bitcast_f32
+
+    idx = scene.indices
+    i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+    material = scene.mesh_material[scene.tri_mesh]
+    return jnp.concatenate(
+        [
+            scene.positions[i0], scene.positions[i1], scene.positions[i2],
+            scene.normals[i0], scene.normals[i1], scene.normals[i2],
+            scene.uvs[i0], scene.uvs[i1], scene.uvs[i2],
+            scene.tangents[i0], scene.tangents[i1], scene.tangents[i2],
+            bitcast_f32(material)[:, None],
+            bitcast_f32(scene.tri_mesh)[:, None],
+        ],
+        axis=1,
+    )
+
+
 def _shade(scene, tri, u, v, covered):
     """Shared attribute fetch + normal mapping (gbuffer.frag:26-51).
 
@@ -44,29 +72,46 @@ def _shade(scene, tri, u, v, covered):
             jnp.asarray([1.0, 1.0, 1.0, 0.0]), tri.shape + (4,)
         )
         return clear, clear, clear, clear
-    ids = scene.indices[jnp.maximum(tri, 0)]  # (H, W, 3)
+    from rust_renderer_tpu.ops.gather import bitcast_i32, row_gather
+
+    shape = tri.shape
+    rows = row_gather(
+        _gbuffer_table(scene), jnp.maximum(tri, 0).reshape(-1)
+    ).reshape(shape + (38,))
     w0 = (1.0 - u - v)[..., None]
     w1 = u[..., None]
     w2 = v[..., None]
 
-    def interp(attr):
-        return attr[ids[..., 0]] * w0 + attr[ids[..., 1]] * w1 + attr[ids[..., 2]] * w2
+    def interp3(base, width=3):
+        return (rows[..., base:base + width] * w0
+                + rows[..., base + width:base + 2 * width] * w1
+                + rows[..., base + 2 * width:base + 3 * width] * w2)
 
-    position = interp(scene.positions)
-    normal_geo = interp(scene.normals)
+    position = interp3(0)
+    normal_geo = interp3(9)
     normal_geo = normal_geo / jnp.maximum(
         jnp.linalg.norm(normal_geo, axis=-1, keepdims=True), 1e-9
     )
-    uv = interp(scene.uvs)
-    tangent4 = interp(scene.tangents)
+    uv = interp3(18, width=2)
+    tangent4 = interp3(24, width=4)
 
-    mesh = scene.tri_mesh[jnp.maximum(tri, 0)]
-    material = scene.mesh_material[mesh]
+    material = bitcast_i32(rows[..., 36])
 
-    diffuse = sample_texture_bilinear(scene.textures, scene.mat_diffuse_map[material], uv)
-    normal_map = sample_texture_bilinear(scene.textures, scene.mat_normal_map[material], uv)
-    mr = sample_texture_bilinear(scene.textures, scene.mat_mr_map[material], uv)
-    occ = sample_texture_bilinear(scene.textures, scene.mat_occlusion_map[material], uv)
+    # All four texture-map ids in one (M, 4) row gather instead of four
+    # 1-wide table scans.
+    maps = jnp.stack(
+        [scene.mat_diffuse_map, scene.mat_normal_map, scene.mat_mr_map,
+         scene.mat_occlusion_map], axis=1,
+    )
+    from rust_renderer_tpu.ops.gather import bitcast_f32
+
+    map_rows = bitcast_i32(row_gather(
+        bitcast_f32(maps), material.reshape(-1)).reshape(shape + (4,)))
+
+    diffuse = sample_texture_bilinear(scene.textures, map_rows[..., 0], uv)
+    normal_map = sample_texture_bilinear(scene.textures, map_rows[..., 1], uv)
+    mr = sample_texture_bilinear(scene.textures, map_rows[..., 2], uv)
+    occ = sample_texture_bilinear(scene.textures, map_rows[..., 3], uv)
     metallic = mr[..., 2]
     roughness = mr[..., 1]
     occlusion = occ[..., 0]
