@@ -5,7 +5,10 @@ Prints one JSON line per workload: {"metric", "value", "unit",
 "vs_baseline", "detail"} — the headline metric first (the driver's
 BENCH_r{N}.json records line 1), then the Sponza-scale (260k-tri) line
 (VERDICT r2 #5: bench the reference's real scene size,
-/root/reference/prototype/src/scenes.rs:102-150).
+/root/reference/prototype/src/scenes.rs:102-150), the MC-isosurface
+line (BASELINE config 5), and the remaining BASELINE.md evaluation
+configs 1-4 (RTIOW 256², raster single mesh 512², raster post stack
+1080p, ReSTIR 128 lights 1080p).
 Baseline (BASELINE.md): >= 30 fps at 1080p 1 spp on one v5e chip.
 
 Workload = the flagship PT render graph (renderers/__init__.py:
@@ -31,14 +34,13 @@ import time
 
 
 def run_workload(metric: str, scene_fn, width: int, height: int,
-                 mc: bool = False) -> dict:
+                 mc: bool = False, bounces: int = 5) -> dict:
     import jax
     import numpy as np
 
     from rust_renderer_tpu.app.main import Application
     from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
 
-    bounces = 5
     cfg = StaticConfig(
         width=width, height=height, samples_per_frame=1, num_bounces=bounces,
         sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
@@ -93,6 +95,55 @@ def run_workload(metric: str, scene_fn, width: int, height: int,
     }
 
 
+def run_raster_workload(metric: str, scene_fn, width: int, height: int) -> dict:
+    """RASTERIZED-mode fps (BASELINE configs 2 and 3): gbuffer raster +
+    4-cascade CSM + SSAO + IBL + deferred PBR + RT shadows/reflections +
+    atmosphere + FXAA present."""
+    import jax
+    import numpy as np
+
+    from rust_renderer_tpu.app.main import Application
+    from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
+
+    cfg = StaticConfig(
+        width=width, height=height,
+        sky_mode="cubemap", cubemap_size=256, cubemap_mips=8,
+        irradiance_size=32, brdf_lut_size=128,
+    )
+    app = Application(width, height, RenderGraphMode.RASTERIZED, cfg)
+    app.create_scene(scene_fn)
+
+    t_compile0 = time.perf_counter()
+    app.run(num_frames=2)
+    compile_s = time.perf_counter() - t_compile0
+
+    n_frames = 5 if width <= 512 else 4
+    t0 = time.perf_counter()
+    app.run(num_frames=n_frames, present_every=0)
+    for v in app.graph.state.values():
+        jax.block_until_ready(v)
+    np.asarray(app.graph.state["accumulation_image"].ravel()[0]) \
+        if "accumulation_image" in app.graph.state else None
+    dt = (time.perf_counter() - t0) / n_frames
+
+    fps = 1.0 / dt
+    return {
+        "metric": metric,
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+        "detail": {
+            "frame_ms": round(dt * 1000, 3),
+            "triangles": int(app.scene.indices.shape[0]),
+            "resolution": f"{width}x{height}",
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "passes": "gbuffer+csm4+ssao+ibl+deferred+rt_shadows"
+                      "+rt_reflections+atmosphere+fxaa",
+        },
+    }
+
+
 def _wait_for_device(budget_s: float) -> bool:
     """Wait (bounded) for the axon TPU tunnel. A bare jax.devices() HANGS
     while the tunnel is down (it does not error), so probe in a subprocess
@@ -125,8 +176,12 @@ def _wait_for_device(budget_s: float) -> bool:
 
 def main() -> int:
     from rust_renderer_tpu.models.scenes import (
+        create_cube_scene,
+        create_restir_many_lights_scene,
+        create_rtiow_scene,
         create_scene,
         create_sponza_scale_scene,
+        create_sponza_scene,
     )
 
     device_up = _wait_for_device(
@@ -134,7 +189,7 @@ def main() -> int:
     small = os.environ.get("RR_BENCH_SMALL") == "1"
     width, height = (512, 512) if small else (1920, 1080)
 
-    def emit(metric, *args, **kw):
+    def emit(metric, *args, workload=run_workload, **kw):
         # A workload that faults the TPU worker must not take the earlier
         # metric lines (or the driver's JSON parse) down with it. With the
         # tunnel down, first device use HANGS (no error to catch) — emit
@@ -148,7 +203,7 @@ def main() -> int:
             }), flush=True)
             return
         try:
-            print(json.dumps(run_workload(metric, *args, **kw)), flush=True)
+            print(json.dumps(workload(metric, *args, **kw)), flush=True)
         except Exception as e:  # noqa: BLE001 — report, don't crash the bench
             print(json.dumps({
                 "metric": metric, "value": 0.0, "unit": "fps",
@@ -156,6 +211,7 @@ def main() -> int:
                 "detail": {"error": f"{type(e).__name__}: {e}"[:300]},
             }), flush=True)
 
+    # Headline (BASELINE north star): 1080p full PT frame, 1 spp.
     emit("pathtrace_graph_1080p_1spp_fps", create_scene, width, height)
 
     if os.environ.get("RR_BENCH_SKIP_SCALE") != "1":
@@ -167,6 +223,25 @@ def main() -> int:
         # marching-cubes isosurface.
         emit("pathtrace_mc_isosurface_1080p_1spp_fps",
              create_scene, width, height, mc=True)
+
+    if os.environ.get("RR_BENCH_SKIP_CONFIGS") != "1":
+        # The remaining BASELINE.md evaluation configs (1-4; 5 is the MC
+        # line above and the headline covers the north star).
+        # Config 1: RTIOW sphere scene @ 256x256 1 spp (CPU-reference RMSE
+        # parity is asserted by tests/test_pathtrace.py, not re-run here).
+        emit("rtiow_pathtrace_256_1spp_fps", create_rtiow_scene, 256, 256)
+        # Config 2: raster mode, single glTF-style mesh, vertex transform +
+        # PBR shading + shadow mapping @ 512x512.
+        emit("raster_single_mesh_512_fps", create_cube_scene, 512, 512,
+             workload=run_raster_workload)
+        # Config 3: full raster post stack (SSAO + FXAA + IBL + CSM +
+        # deferred PBR + RT shadows/reflections) on Sponza @ 1080p.
+        emit("raster_post_stack_sponza_1080p_fps", create_sponza_scene,
+             width, height, workload=run_raster_workload)
+        # Config 4: ReSTIR direct lighting, Sponza with 128 analytic point
+        # lights + raytraced (NEE reservoir) shadow rays @ 1080p.
+        emit("restir_128_lights_sponza_1080p_fps",
+             create_restir_many_lights_scene, width, height)
     return 0
 
 

@@ -152,6 +152,25 @@ def create_sponza_scale_scene(renderer: Renderer, camera: Camera) -> None:
         )
 
 
+def create_restir_many_lights_scene(renderer: Renderer, camera: Camera,
+                                    num_lights: int = 128) -> None:
+    """BASELINE config 4 scene: Sponza(-standin) with 128 analytic point
+    lights for the ReSTIR direct-lighting evaluation. Light placement follows
+    the reference's grid-walk pattern (scenes.rs:3-30) extended to 128 — a
+    20-unit grid snake at two heights through the atrium."""
+    camera.set_position_target([-10.28, 2.10, -0.18], [0.0, 0.5, 0.0])
+    rng = np.random.default_rng(4)
+    for i in range(num_lights):
+        renderer.add_light(
+            position=[-11.0 + (i % 16) * 1.5,
+                      1.0 + (i // 64) * 2.5 + rng.uniform(0.0, 0.5),
+                      -5.0 + ((i // 16) % 4) * 3.0],
+            color=list(0.5 + 0.5 * rng.uniform(size=3)),
+            range_=1.0,
+        )
+    create_sponza_scene(renderer, camera)
+
+
 def create_atrium_standin(renderer: Renderer, columns: int = 6,
                           sphere_detail: int = 24,
                           clutter_count: int = 12,
