@@ -90,7 +90,9 @@ def run_workload(metric: str, scene_fn, width: int, height: int,
             "resolution": f"{width}x{height}",
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
-            "restir": "initial+temporal+spatial",
+            "restir": ("initial+temporal+spatial"
+                       if app.renderer.get_num_lights() > 0
+                       else "skipped (0 lights — bit-identical)"),
         },
     }
 

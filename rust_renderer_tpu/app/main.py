@@ -186,6 +186,7 @@ class Application:
                             int(self.view.marching_cubes_enabled)
                         ),
                         mc_material=self.renderer.ensure_mc_material(),
+                        num_lights=self.renderer.get_num_lights(),
                     )
                 elif mode == RenderGraphMode.RASTERIZED:
                     build_render_graph(

@@ -152,6 +152,7 @@ def build_path_tracing_render_graph(
     marching_cubes_enabled: bool = False,
     mc_material: int = 0,
     mc_color=(0.0, 1.0, 0.0, 1.0),
+    num_lights: int | None = None,
 ) -> None:
     """PT graph with the ReSTIR chain (mod.rs:189-375).
 
@@ -160,8 +161,17 @@ def build_path_tracing_render_graph(
     gbuffer raycast and the reference PT trace the device-refit dynamic BVH
     (ops/mc_bvh.py) alongside the static one — the analog of the reference's
     per-frame TLAS rebuild covering the MC vertex buffer
-    (marching_cubes.rs:63-135, raytracing.rs:400-459)."""
+    (marching_cubes.rs:63-135, raytracing.rs:400-459).
+
+    num_lights: static scene light count when known. With ZERO lights the
+    whole direct-lighting chain (gbuffer raycast + reset/initial-RIS/
+    temporal/spatial) selects and shades nothing — every reservoir stays
+    empty and every NEE ray is a gated zero-direction no-op — so the graph
+    is built without it (bit-identical output, one fewer full traversal per
+    frame; tests/test_render_graphs.py asserts the equality). None/-1 keeps
+    the full chain."""
     w, h = cfg.width, cfg.height
+    skip_restir = num_lights == 0
 
     if cfg.sky_mode == "cubemap":
         if need_environment_update:
@@ -242,100 +252,104 @@ def build_path_tracing_render_graph(
                 {k: res[k] for k in mc_reads}, cfg.mc_grid, mc_material
             )
 
-    # 1. gbuffer (hit positions for the ReSTIR passes, mod.rs:246-254).
-    setup_gbuffer_pass(graph, scene_bvh, w, h, dynamic_fn=dynamic_fn,
-                       dynamic_reads=mc_reads, mc_color=mc_color)
-
-    # Reservoir buffers; spatial output is persistent — it feeds the NEXT
-    # frame's temporal pass as prev (mod.rs:294).
-    _declare_reservoir(graph, "initial_ris_reservoirs", w, h)
-    _declare_reservoir(graph, "temporal_reuse_reservoirs", w, h)
-    _declare_reservoir(graph, "spatial_reuse_reservoirs", w, h, persistent=True)
     graph.create_texture("accumulation_image", w, h, 3, persistent=True)
     graph.create_texture("pt_output", w, h, 3)
     # Active-lane ray count (bench metric); persistent so the host can read
     # it from Graph.state without keeping the whole resource dict alive.
     graph.create_buffer("pt_rays", (), persistent=True)
 
-    # 2. reset_reservoirs (restir/reset_reservoirs.comp): zero initial +
-    # temporal buffers each frame.
-    def reset(res, scene, view, u):
-        out = {}
-        for name in ("initial_ris_reservoirs", "temporal_reuse_reservoirs"):
-            empty = restir_ops.Reservoir.empty((h, w))
-            out.update(_write_reservoir(name, empty))
-        return out
+    if not skip_restir:
+        # 1. gbuffer (hit positions for the ReSTIR passes, mod.rs:246-254).
+        setup_gbuffer_pass(graph, scene_bvh, w, h, dynamic_fn=dynamic_fn,
+                           dynamic_reads=mc_reads, mc_color=mc_color)
 
-    graph.add_pass("reset_reservoirs").render(reset).build()
+        # Reservoir buffers; spatial output is persistent — it feeds the
+        # NEXT frame's temporal pass as prev (mod.rs:294).
+        _declare_reservoir(graph, "initial_ris_reservoirs", w, h)
+        _declare_reservoir(graph, "temporal_reuse_reservoirs", w, h)
+        _declare_reservoir(graph, "spatial_reuse_reservoirs", w, h,
+                           persistent=True)
 
-    # p_hat of each pass's selected sample rides along to the next pass so
-    # no pass re-selects light rows for a reservoir it was just handed
-    # (exact reuse — ops/restir.py Y-equality argument; measured ~10-15 ms
-    # per dense select at 1080p).
-    graph.create_buffer("initial_ris_p_hat", (h, w))
-    graph.create_buffer("temporal_reuse_p_hat", (h, w))
+        # 2. reset_reservoirs (restir/reset_reservoirs.comp): zero initial +
+        # temporal buffers each frame.
+        def reset(res, scene, view, u):
+            out = {}
+            for name in ("initial_ris_reservoirs", "temporal_reuse_reservoirs"):
+                empty = restir_ops.Reservoir.empty((h, w))
+                out.update(_write_reservoir(name, empty))
+            return out
 
-    # 3. initial RIS (restir/initial_ris.rgen).
-    def initial_ris(res, scene, view, u):
-        state = _rng_for(view, (h, w))
-        hit_pos = res["gbuffer_position"][..., :3]
-        state, r, p_hat = restir_ops.initial_ris_pass(
-            scene, state, hit_pos, view.num_lights, view.max_num_lights_used,
-            cfg.ris_candidates, return_p_hat=True,
+        graph.add_pass("reset_reservoirs").render(reset).build()
+
+        # p_hat of each pass's selected sample rides along to the next pass
+        # so no pass re-selects light rows for a reservoir it was just handed
+        # (exact reuse — ops/restir.py Y-equality argument; measured
+        # ~10-15 ms per dense select at 1080p).
+        graph.create_buffer("initial_ris_p_hat", (h, w))
+        graph.create_buffer("temporal_reuse_p_hat", (h, w))
+
+        # 3. initial RIS (restir/initial_ris.rgen).
+        def initial_ris(res, scene, view, u):
+            state = _rng_for(view, (h, w))
+            hit_pos = res["gbuffer_position"][..., :3]
+            state, r, p_hat = restir_ops.initial_ris_pass(
+                scene, state, hit_pos, view.num_lights,
+                view.max_num_lights_used,
+                cfg.ris_candidates, return_p_hat=True,
+            )
+            out = _write_reservoir("initial_ris_reservoirs", r)
+            out["initial_ris_p_hat"] = p_hat
+            return out
+
+        (
+            graph.add_pass("initial_ris")
+            .read("gbuffer_position")
+            .write("initial_ris_p_hat")
+            .render(initial_ris)
+            .build()
         )
-        out = _write_reservoir("initial_ris_reservoirs", r)
-        out["initial_ris_p_hat"] = p_hat
-        return out
 
-    (
-        graph.add_pass("initial_ris")
-        .read("gbuffer_position")
-        .write("initial_ris_p_hat")
-        .render(initial_ris)
-        .build()
-    )
+        # 4. temporal reuse (restir/temporal_reuse.rgen).
+        def temporal(res, scene, view, u):
+            state = _rng_for(view, (h, w)) * jnp.uint32(9781) + jnp.uint32(1)
+            hit_pos = res["gbuffer_position"][..., :3]
+            initial = _read_reservoir(res, "initial_ris_reservoirs")
+            prev = _read_reservoir(res, "spatial_reuse_reservoirs")
+            state, out, p_hat = restir_ops.temporal_reuse_pass(
+                scene, state, hit_pos, initial, prev,
+                view.prev_frame_projection_view, view.temporal_reuse_enabled,
+                p_hat_initial=res["initial_ris_p_hat"], return_p_hat=True,
+            )
+            writes = _write_reservoir("temporal_reuse_reservoirs", out)
+            writes["temporal_reuse_p_hat"] = p_hat
+            return writes
 
-    # 4. temporal reuse (restir/temporal_reuse.rgen).
-    def temporal(res, scene, view, u):
-        state = _rng_for(view, (h, w)) * jnp.uint32(9781) + jnp.uint32(1)
-        hit_pos = res["gbuffer_position"][..., :3]
-        initial = _read_reservoir(res, "initial_ris_reservoirs")
-        prev = _read_reservoir(res, "spatial_reuse_reservoirs")
-        state, out, p_hat = restir_ops.temporal_reuse_pass(
-            scene, state, hit_pos, initial, prev,
-            view.prev_frame_projection_view, view.temporal_reuse_enabled,
-            p_hat_initial=res["initial_ris_p_hat"], return_p_hat=True,
+        (
+            graph.add_pass("temporal_reuse")
+            .read("gbuffer_position").read("initial_ris_p_hat")
+            .write("temporal_reuse_p_hat")
+            .render(temporal)
+            .build()
         )
-        writes = _write_reservoir("temporal_reuse_reservoirs", out)
-        writes["temporal_reuse_p_hat"] = p_hat
-        return writes
 
-    (
-        graph.add_pass("temporal_reuse")
-        .read("gbuffer_position").read("initial_ris_p_hat")
-        .write("temporal_reuse_p_hat")
-        .render(temporal)
-        .build()
-    )
+        # 5. spatial reuse (restir/spatial_reuse.rgen).
+        def spatial(res, scene, view, u):
+            state = _rng_for(view, (h, w)) * jnp.uint32(6271) + jnp.uint32(1)
+            hit_pos = res["gbuffer_position"][..., :3]
+            temporal_r = _read_reservoir(res, "temporal_reuse_reservoirs")
+            state, out = restir_ops.spatial_reuse_pass(
+                scene, state, hit_pos, temporal_r, view.spatial_reuse_enabled,
+                cfg.spatial_neighbors, cfg.spatial_radius,
+                p_hat_temporal=res["temporal_reuse_p_hat"],
+            )
+            return _write_reservoir("spatial_reuse_reservoirs", out)
 
-    # 5. spatial reuse (restir/spatial_reuse.rgen).
-    def spatial(res, scene, view, u):
-        state = _rng_for(view, (h, w)) * jnp.uint32(6271) + jnp.uint32(1)
-        hit_pos = res["gbuffer_position"][..., :3]
-        temporal_r = _read_reservoir(res, "temporal_reuse_reservoirs")
-        state, out = restir_ops.spatial_reuse_pass(
-            scene, state, hit_pos, temporal_r, view.spatial_reuse_enabled,
-            cfg.spatial_neighbors, cfg.spatial_radius,
-            p_hat_temporal=res["temporal_reuse_p_hat"],
+        (
+            graph.add_pass("spatial_reuse")
+            .read("gbuffer_position").read("temporal_reuse_p_hat")
+            .render(spatial)
+            .build()
         )
-        return _write_reservoir("spatial_reuse_reservoirs", out)
-
-    (
-        graph.add_pass("spatial_reuse")
-        .read("gbuffer_position").read("temporal_reuse_p_hat")
-        .render(spatial)
-        .build()
-    )
 
     # 6. reference PT with reservoir NEE (mod.rs:345-358, reference.rgen).
     closest = bvh_ops.make_closest_hit(scene_bvh,
@@ -345,7 +359,8 @@ def build_path_tracing_render_graph(
     use_cubemap_sky = cfg.sky_mode == "cubemap"
 
     def reference_pt(res, scene, view, u):
-        reservoirs = _read_reservoir(res, "spatial_reuse_reservoirs")
+        reservoirs = (None if skip_restir
+                      else _read_reservoir(res, "spatial_reuse_reservoirs"))
         sky_fn = None
         if use_cubemap_sky:
             from rust_renderer_tpu.ops.cubemap import sample_cubemap

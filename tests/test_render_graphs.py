@@ -94,6 +94,41 @@ def test_pt_graph_reservoir_feedback(setup):
     assert m.max() >= 1  # temporal reuse accumulated reservoir history
 
 
+def test_pt_graph_zero_lights_skips_restir_bit_identical(setup):
+    """With a zero-light scene the direct-lighting chain selects nothing —
+    num_lights=0 builds the graph without gbuffer/ReSTIR passes and the
+    output must match the full chain bit for bit (every pass re-seeds its
+    own RNG, so dropping a pass changes no other pass's stream)."""
+    _, cam, _, _, _, sun = setup
+    r0 = rt.Renderer()
+    cam0 = rt.Camera([3, 2, 5], [0, 0.5, 0], aspect_ratio=1.0,
+                     z_near=0.1, z_far=100.0)
+    r0.add_model(ModelLoader.load_cube(), math3d.translation([0, 0.5, 0]))
+    r0.add_model(ModelLoader.load_cube(), math3d.scale([20.0, 0.1, 20.0]))
+    scene0 = r0.pack()
+    b0 = bvh_ops.build_scene_bvh(scene0)
+    view0 = RenderSettings.default(num_lights=0).with_camera(cam0, W, H)
+
+    def run(num_lights):
+        g = rt.Graph()
+        outs = []
+        for f in range(1, 3):
+            g.new_frame(); g.clear()
+            build_path_tracing_render_graph(g, CFG, cam0, b0, sun,
+                                            num_lights=num_lights)
+            res = g.render(scene0, view0.replace(total_samples=jnp.uint32(f)))
+            outs.append(np.asarray(res["present_output"]))
+        return g, outs
+
+    g_full, full = run(None)
+    g_skip, skip = run(0)
+    assert any(p.name == "initial_ris" for p in g_full.passes)
+    assert not any(p.name == "initial_ris" for p in g_skip.passes)
+    assert "spatial_reuse_reservoirs_M" not in g_skip.state
+    for a, c in zip(full, skip):
+        np.testing.assert_array_equal(a, c)
+
+
 def test_pt_graph_accumulation_persists(setup):
     _, cam, scene, b, view, sun = setup
     g = rt.Graph()
