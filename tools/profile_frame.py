@@ -32,7 +32,12 @@ def main():
     gmode = (RenderGraphMode.RASTERIZED if mode == "raster"
              else RenderGraphMode.PATH_TRACED)
     app = Application(w, h, gmode, cfg)
-    app.create_scene()
+    scene_name = sys.argv[3] if len(sys.argv) > 3 else "default"
+    if scene_name == "default":
+        app.create_scene()
+    else:
+        from rust_renderer_tpu.models import scenes as scenes_mod
+        app.create_scene(getattr(scenes_mod, f"create_{scene_name}_scene"))
     app.run(num_frames=2)  # compile + steady
 
     trace_dir = "/tmp/frame_trace"
