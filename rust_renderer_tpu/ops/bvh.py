@@ -458,14 +458,17 @@ def _dedup_leaf_rows(leaf_tris: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_SIZE,
-              use_native: bool = True, presplit_ratio: float = 1.0) -> BVH:
+              use_native: bool = True, presplit_ratio: float = 1.0,
+              reinsert_passes: int = 0) -> BVH:
     """Build from (V,3) float32 world positions and (T,3) int32 indices.
 
     Prefers the native binned-SAH builder (native/bvh_builder.cpp — better
     trees, ~100x faster host build); falls back to the numpy Morton-median
     builder below. presplit_ratio > 1 enables SBVH-style reference
     pre-splitting up to that multiple of the triangle count (_presplit_refs;
-    native path only)."""
+    native path only). reinsert_passes > 0 runs Bittner-style insertion
+    optimization on the binary tree before the wide collapse
+    (ops/bvh_opt.py; native path only)."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int64).reshape(-1, 3)
     n_tris = len(indices)
@@ -492,6 +495,13 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
             out = native.build_bvh_sah(positions, indices.astype(np.int32), leaf_size)
         if out is not None:
             node_min, node_max, node_miss, node_leaf, leaf_tris = out
+            if reinsert_passes > 0:
+                from rust_renderer_tpu.ops.bvh_opt import optimize_reinsertion
+
+                node_min, node_max, node_miss, node_leaf = (
+                    optimize_reinsertion(node_min, node_max, node_miss,
+                                         node_leaf, passes=reinsert_passes)
+                )
             node_min, node_max, node_miss, node_leaf, leaf_tris = (
                 _collapse_small_subtrees(
                     node_min, node_max, node_miss, node_leaf,
@@ -1073,7 +1083,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     wide: bool = True, ordered: bool = False,
                     multi: int = 1, dual: bool = False,
                     compact_window: int = 0, steady_drain: int = 0,
-                    drain_first: bool = False):
+                    drain_first: bool = False,
+                    compact_order: str = "morton"):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -1091,14 +1102,16 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
             from rust_renderer_tpu.ops.compaction import traverse_compacted
 
             return functools.partial(traverse_compacted,
-                                     window_blocks=compact_window, trav=trav)
+                                     window_blocks=compact_window, trav=trav,
+                                     order=compact_order)
         return trav
     return traverse_packet if packet else traverse
 
 
 def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                      wide: bool = True, ordered: bool = False,
-                     compact_window: int = 0, steady_drain: int = 3):
+                     compact_window: int = 0, steady_drain: int = 3,
+                     compact_order: str = "morton"):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
@@ -1115,10 +1128,15 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     (tools/bench_fronts.py, real captured fronts): beats the cond-guarded
     pop kernel on every bounce front (closest b1-b4 sum 224->205 ms plain;
     183 ms composed with compact_window=16). steady_drain=0 restores the
-    round-2 kernel."""
+    round-2 kernel.
+    compact_order="morton" (default) sorts each compaction window's live
+    lanes by origin Morton code — narrower per-block union walks; measured
+    -10..-14% on late closest fronts, free (shares the dead-bit sort key,
+    ops/compaction.py)."""
     trav = _pick_traversal(bvh, packet, sort, wide, ordered,
                            dual=steady_drain > 0, steady_drain=steady_drain,
-                           compact_window=compact_window)
+                           compact_window=compact_window,
+                           compact_order=compact_order)
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
         t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
@@ -1138,7 +1156,8 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
 
 def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  wide: bool = True, ordered: bool = False,
-                 compact_window: int = 0, steady_drain: int = 3):
+                 compact_window: int = 0, steady_drain: int = 3,
+                 compact_order: str = "morton"):
     # steady_drain=3 + dual: the dual-expand steady-drain kernel
     # (_make_kernel_wide_sdd) — two 16-bit child masks fill the one
     # extracted int32, leaf rows drain LIFO D-per-iteration with no
@@ -1148,10 +1167,13 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     # round-2 dual-pop kernel (two cond-guarded pops per extract).
     # drain_first: leaf rows drain BEFORE the expand — measured -2..-12%
     # on every real any-hit front (wash on closest, so only wired here).
+    # compact_order="morton": origin-Morton window ordering, measured
+    # -20..-30% on real NEE any-hit fronts (tools/bench_fronts.py wsmf16).
     trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True,
                            steady_drain=steady_drain,
                            compact_window=compact_window,
-                           drain_first=steady_drain > 0)
+                           drain_first=steady_drain > 0,
+                           compact_order=compact_order)
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)

@@ -37,6 +37,36 @@ BLOCK = 1024  # lanes per packet block (8 x 128)
 TILE = 32     # image tile side the Pallas launcher packs 2D fronts into
 
 
+def _spread10(x):
+    """Interleave-ready bit spread of a 10-bit int32 (Morton helper)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton30(ox, oy, oz, live):
+    """30-bit Morton code of each lane's ORIGIN, quantized over the live
+    lanes' bounding box. Union walks are origin-driven (PERFORMANCE.md
+    round 3: direction sorts all measured worse) — clustering origins
+    within a compaction window narrows each surviving block's walk.
+    CPU pop replay (tools/eval_compaction.py --morton): win16+morton
+    0.73x/0.69x total pops at 20%/10% live vs 0.78x/0.74x live-first
+    alone."""
+    big = jnp.float32(3e38)
+    los, his = [], []
+    for c in (ox, oy, oz):
+        los.append(jnp.min(jnp.where(live, c, big)))
+        his.append(jnp.max(jnp.where(live, c, -big)))
+    code = jnp.zeros_like(ox, dtype=jnp.int32)
+    for k, (c, lo, hi) in enumerate(zip((ox, oy, oz), los, his)):
+        span = jnp.maximum(hi - lo, 1e-12)
+        q = jnp.clip(((c - lo) / span * 1024.0).astype(jnp.int32), 0, 1023)
+        code = code | (_spread10(q) << k)
+    return code
+
+
 def _lane_maps(shape):
     """(pack, unpack) between the logical front shape and the flat
     tile-major lane order used by the Pallas launcher for 2D fronts."""
@@ -82,13 +112,18 @@ def window_forward_map(live_flat, window_lanes: int):
 
 def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                        window_blocks: int = 8, trav=None, method="sort",
-                       **kw):
+                       order: str = "live", **kw):
     """Packet traversal with windowed live-lane compaction.
 
     Same signature/results as the underlying traversal `trav` (default
     traverse_packet_pallas; dead lanes keep prim=-1); lanes are permuted
     into live-first order within windows of `window_blocks` adjacent blocks
     for the walk and restored after. Scheduling only — results are exact.
+
+    order="morton" additionally sorts the LIVE lanes of each window by the
+    Morton code of their origin (dead lanes still sink to the window tail).
+    The code packs into the same int32 sort key as the dead bit, so the
+    bitonic sort costs nothing extra — only the ~20-op code computation.
     """
     if trav is None:
         trav = traverse_packet_pallas
@@ -120,7 +155,12 @@ def traverse_compacted(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     live = (dx * dx + dy * dy + dz * dz) > 0.0
 
     if method == "sort":
-        dead_key = jnp.logical_not(live).astype(jnp.int32).reshape(-1, window)
+        dead_i = jnp.logical_not(live).astype(jnp.int32)
+        if order == "morton":
+            dead_key = ((dead_i << 30)
+                        | _morton30(ox, oy, oz, live)).reshape(-1, window)
+        else:
+            dead_key = dead_i.reshape(-1, window)
         src_idx = jax.lax.broadcasted_iota(jnp.int32, (n // window, window), 1)
         chans = (ox, oy, oz, dx, dy, dz) + (() if tmax_scalar else (tmx,))
         ins = tuple(a.reshape(-1, window) for a in chans)

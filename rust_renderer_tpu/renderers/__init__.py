@@ -353,9 +353,11 @@ def build_path_tracing_render_graph(
 
     # 6. reference PT with reservoir NEE (mod.rs:345-358, reference.rgen).
     closest = bvh_ops.make_closest_hit(scene_bvh,
-                                       compact_window=cfg.compact_window)
+                                       compact_window=cfg.compact_window,
+                                       compact_order=cfg.compact_order)
     any_hit = bvh_ops.make_any_hit(scene_bvh,
-                                   compact_window=cfg.compact_window)
+                                   compact_window=cfg.compact_window,
+                                   compact_order=cfg.compact_order)
     use_cubemap_sky = cfg.sky_mode == "cubemap"
 
     def reference_pt(res, scene, view, u):

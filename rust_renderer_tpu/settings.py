@@ -73,6 +73,14 @@ class StaticConfig:
     # the steady-drain kernel it cuts every bounce front 1.3-1.8x and
     # costs the 100%-live camera front ~1 ms of sort.
     compact_window: int = 16
+    # Ordering of live lanes within each compaction window: "morton" sorts
+    # by origin Morton code (unions are origin-driven — clustering origins
+    # narrows each surviving block's walk), "live" keeps stable image
+    # order. Morton shares the dead-bit sort key so it costs nothing
+    # extra; TPU-measured round 3 (tools/bench_fronts.py wsm16/wsmf16,
+    # two runs): closest b2-b4 -10..-17%, NEE any-hit b1-b4 -13..-30%,
+    # camera front a wash. Results stay exact (scheduling only).
+    compact_order: str = "morton"
     # Split the PT frame into separate XLA programs at the reference_pt
     # boundary (gbuffer+ReSTIR | bounce loop | present) via
     # PassBuilder.isolate. MEASURED AND REJECTED as a compile-latency fix

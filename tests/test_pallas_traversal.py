@@ -335,7 +335,8 @@ def test_windowed_compaction_matches():
             k["interpret"] = True
             return orig(*a, **k)
 
-    for method in ("sort", "scatter"):
+    for method, order in (("sort", "live"), ("sort", "morton"),
+                          ("scatter", "live")):
         if jax.devices()[0].platform == "cpu":
             orig = pl.pallas_call
 
@@ -346,12 +347,12 @@ def test_windowed_compaction_matches():
             ptrav.pl.pallas_call = patched
             try:
                 t1, p1, u1, v1 = compaction.traverse_compacted(
-                    b, o, d, window_blocks=2, method=method)
+                    b, o, d, window_blocks=2, method=method, order=order)
             finally:
                 ptrav.pl.pallas_call = orig
         else:
             t1, p1, u1, v1 = compaction.traverse_compacted(
-                b, o, d, window_blocks=2, method=method)
+                b, o, d, window_blocks=2, method=method, order=order)
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
         hit = np.asarray(p0) >= 0
         np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t0)[hit],

@@ -258,6 +258,21 @@ def main():
             return compaction.traverse_compacted(
                 bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
                 method="sort", any_hit=any_hit, dual=True, steady_drain=3)
+        if v.startswith("wsmf"):
+            # morton-ordered windowed compaction + drain-first sdd3
+            from rust_renderer_tpu.ops import compaction
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(v[4:]),
+                method="sort", order="morton", any_hit=any_hit, dual=True,
+                steady_drain=3, drain_first=True)
+        if v.startswith("wsm"):
+            # windowed compaction with origin-Morton live-lane ordering
+            # (dead bit + 30-bit code share one sort key — free vs wsd)
+            from rust_renderer_tpu.ops import compaction
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
+                method="sort", order="morton", any_hit=any_hit, dual=True,
+                steady_drain=3)
         if v.startswith("wc"):
             # windowed live-lane compaction (wc8 = 8-block windows, sort
             # moves; wcg8 = scatter/gather moves); the in-graph permutation

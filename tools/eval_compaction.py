@@ -72,11 +72,49 @@ def partition(o, d, live, window_lanes):
     return o2, d2
 
 
+def morton_codes(o, bits=10):
+    """30-bit Morton code of each origin quantized over its own bbox."""
+    lo = o.min(0)
+    span = np.maximum(o.max(0) - lo, 1e-12)
+    q = np.minimum(((o - lo) / span * (1 << bits)).astype(np.uint64),
+                   (1 << bits) - 1)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2))
+
+
+def partition_key(o, d, live, window_lanes, key):
+    """Dead-last sort within each window by an arbitrary secondary key
+    (live lanes ordered by `key`, dead lanes keep stable order at the
+    tail)."""
+    o2, d2 = o.copy(), d.copy()
+    n = len(o)
+    big = np.uint64(1) << np.uint64(62)
+    k = np.where(live, key.astype(np.uint64), big)
+    for s in range(0, n, window_lanes):
+        sl = slice(s, min(s + window_lanes, n))
+        order = np.argsort(k[sl], kind="stable")
+        o2[sl] = o[sl][order]
+        d2[sl] = d[sl][order]
+    return o2, d2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=64)
     ap.add_argument("--live", default="0.4,0.2,0.1")
     ap.add_argument("--any-hit", action="store_true")
+    ap.add_argument("--morton", action="store_true",
+                    help="also evaluate origin-Morton sorted arrangements "
+                         "(unions are origin-driven; direction sorts all "
+                         "failed — this clusters ORIGINS within windows)")
     args = ap.parse_args()
 
     r = rt.Renderer()
@@ -155,6 +193,23 @@ def main():
         for g in (2, 4, 8, 16):
             ow, dw = partition(o, d, live, g * 1024)
             rows.append((f"win{g}", front_cost(bvh, ow, dw, args.any_hit)))
+        if args.morton:
+            mc = morton_codes(o)
+            # direction octant folded into the low bits as a tiebreak
+            octant = ((d[:, 0] < 0).astype(np.uint64)
+                      | ((d[:, 1] < 0).astype(np.uint64) << np.uint64(1))
+                      | ((d[:, 2] < 0).astype(np.uint64) << np.uint64(2)))
+            mo = (mc << np.uint64(3)) | octant
+            for g in (4, 8, 16):
+                ow, dw = partition_key(o, d, live, g * 1024, mc)
+                rows.append((f"win{g}m",
+                             front_cost(bvh, ow, dw, args.any_hit)))
+            for g in (8, 16):
+                ow, dw = partition_key(o, d, live, g * 1024, mo)
+                rows.append((f"win{g}mo",
+                             front_cost(bvh, ow, dw, args.any_hit)))
+            ow, dw = partition_key(o, d, live, n, mc)
+            rows.append(("globalm", front_cost(bvh, ow, dw, args.any_hit)))
         print(f"== live {lf * 100:.0f}% ({int(live.sum())} lanes, "
               f"{n_blocks} blocks) ==", flush=True)
         for name, c in rows:
