@@ -459,7 +459,8 @@ def _dedup_leaf_rows(leaf_tris: np.ndarray) -> np.ndarray:
 
 def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_SIZE,
               use_native: bool = True, presplit_ratio: float = 1.0,
-              reinsert_passes: int = 0) -> BVH:
+              reinsert_passes: int = 0,
+              reinsert_child_order: str = "keep") -> BVH:
     """Build from (V,3) float32 world positions and (T,3) int32 indices.
 
     Prefers the native binned-SAH builder (native/bvh_builder.cpp — better
@@ -471,7 +472,41 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
     (ops/bvh_opt.py; native path only)."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int64).reshape(-1, 3)
+
+    # Exclude unreachable geometry from the tree. The default scene parks a
+    # gizmo-target sphere at FLT_MAX (models/scenes.py, = scenes.rs:3-30);
+    # its triangles gave 13 ancestor nodes INFINITE boxes that every packet
+    # walked every frame, and inf surface areas poison SAH arithmetic.
+    # Every traversal caller uses t_max <= 1e4, so triangles entirely
+    # beyond |1e30| can never produce a valid hit — dropping their LEAF
+    # rows is exact. They re-enter automatically when moved to finite
+    # coordinates (any transform change rebuilds the tree). Original
+    # triangle ids are preserved (leaf rows index the untouched scene
+    # pools).
+    indices_all = indices
+    if len(indices):
+        tv = positions[indices.reshape(-1)].reshape(-1, 3, 3)
+        far = ~np.all(np.abs(tv) < 1e30, axis=(1, 2))
+        far |= ~np.isfinite(tv).all(axis=(1, 2))
+        if far.any():
+            log.info("bvh: excluding %d unreachable triangles (beyond 1e30)",
+                     int(far.sum()))
+            keep = np.nonzero(~far)[0]
+            indices = indices[keep]
+            tri_map = keep.astype(np.int64)
+        else:
+            tri_map = None
+    else:
+        tri_map = None
     n_tris = len(indices)
+
+    def _to_original_ids(leaf_tris):
+        """Map filtered-build triangle ids back to the caller's ids, so hit
+        prims index the untouched scene pools."""
+        if tri_map is None:
+            return leaf_tris
+        return np.where(leaf_tris >= 0,
+                        tri_map[np.maximum(leaf_tris, 0)], -1)
 
     if use_native and n_tris > 0:
         from rust_renderer_tpu import native
@@ -495,12 +530,13 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
             out = native.build_bvh_sah(positions, indices.astype(np.int32), leaf_size)
         if out is not None:
             node_min, node_max, node_miss, node_leaf, leaf_tris = out
-            if reinsert_passes > 0:
+            if reinsert_passes > 0 or reinsert_child_order != "keep":
                 from rust_renderer_tpu.ops.bvh_opt import optimize_reinsertion
 
                 node_min, node_max, node_miss, node_leaf = (
                     optimize_reinsertion(node_min, node_max, node_miss,
-                                         node_leaf, passes=reinsert_passes)
+                                         node_leaf, passes=reinsert_passes,
+                                         child_order=reinsert_child_order)
                 )
             node_min, node_max, node_miss, node_leaf, leaf_tris = (
                 _collapse_small_subtrees(
@@ -513,8 +549,8 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
                 leaf_tris = np.where(leaf_tris >= 0, ref_tri[np.maximum(leaf_tris, 0)], -1)
                 leaf_tris = _dedup_leaf_rows(leaf_tris)
             return _finalize(
-                positions, indices, node_min, node_max, node_miss, node_leaf,
-                leaf_tris,
+                positions, indices_all, node_min, node_max, node_miss,
+                node_leaf, _to_original_ids(leaf_tris),
             )
     if n_tris == 0:
         # Degenerate empty BVH: one leaf with no triangles.
@@ -605,7 +641,8 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray, leaf_size: int = LEAF_
         np.stack(node_min), np.stack(node_max), miss,
         np.asarray(node_leaf), leaf_arr, leaf_size,
     )
-    return _finalize(positions, indices, nmin, nmax, miss, nleaf, leaf_arr)
+    return _finalize(positions, indices_all, nmin, nmax, miss, nleaf,
+                     _to_original_ids(leaf_arr))
 
 
 def build_scene_bvh(scene, leaf_size: int | None = None) -> BVH:
@@ -625,6 +662,80 @@ def build_scene_bvh(scene, leaf_size: int | None = None) -> BVH:
     return build_bvh(
         np.asarray(scene.positions), np.asarray(scene.indices), leaf_size
     )
+
+
+# -- occluder seeds ----------------------------------------------------------
+
+
+def make_seed_test(bvh: BVH, k: int = 4):
+    """Pre-traversal test against the K largest-total-area leaf rows.
+
+    Discovery (round 3): the FLT_MAX gizmo sphere accidentally forced every
+    packet through a mixed leaf of camera-area wall triangles, terminating
+    camera occlusion queries in ~6 pops/block. This is that mechanism done
+    on purpose: big walls/floors occlude most rays, so test them FIRST as
+    static trace-time constants (no gathers, ~30 VPU ops/triangle full-
+    image). CPU replay (tools/eval_seed.py, K=4): camera any-hit 0.02x
+    pops (97.6% killed pre-walk), bounce any-hit 0.37x, sun front 0.85x.
+
+    Returns fn(origin, direction, t_min, t_max) -> bool occluded, or None
+    (no usable rows). Occlusion-only: the same seeds used to prime
+    closest-hit t_max measured a no-op (0.98-0.99x pops — the walk
+    tightens best_t quickly on its own), so only make_any_hit consumes
+    this.
+
+    Exactness: occlusion is boolean — extra tests can only find occluders
+    earlier, never change the answer. Reference role: none — the
+    reference's RT cores hide occlusion-ray cost in hardware; this is TPU
+    scheduling.
+    """
+    if k <= 0:
+        return None
+    v0 = np.asarray(bvh.leaf_v0)
+    e1 = np.asarray(bvh.leaf_e1)
+    e2 = np.asarray(bvh.leaf_e2)
+    tid = np.asarray(bvh.leaf_tris)
+    if len(v0) == 0:
+        return None
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum(axis=1)
+    rows = np.argsort(-area)[: min(k, len(area))]
+    tris = []
+    for r in rows:
+        for s in range(tid.shape[1]):
+            if tid[r, s] >= 0:
+                tris.append((v0[r, s].tolist(), e1[r, s].tolist(),
+                             e2[r, s].tolist(), int(tid[r, s])))
+    if not tris:
+        return None
+
+    def test(origin, direction, t_min, t_max):
+        ox, oy, oz = origin[..., 0], origin[..., 1], origin[..., 2]
+        dx, dy, dz = direction[..., 0], direction[..., 1], direction[..., 2]
+        shape = ox.shape
+        tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)
+        occ = jnp.zeros(shape, bool)
+        for (a, b, c, _pid) in tris:
+            px = dy * c[2] - dz * c[1]
+            py = dz * c[0] - dx * c[2]
+            pz = dx * c[1] - dy * c[0]
+            det = b[0] * px + b[1] * py + b[2] * pz
+            inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvx, tvy, tvz = ox - a[0], oy - a[1], oz - a[2]
+            u = (tvx * px + tvy * py + tvz * pz) * inv
+            qx = tvy * b[2] - tvz * b[1]
+            qy = tvz * b[0] - tvx * b[2]
+            qz = tvx * b[1] - tvy * b[0]
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = (c[0] * qx + c[1] * qy + c[2] * qz) * inv
+            ok = (
+                (jnp.abs(det) > 1e-12)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > t_min) & (t < tmax_arr)
+            )
+            occ = jnp.logical_or(occ, ok)
+        return occ
+
+    return test
 
 
 # -- traversal ---------------------------------------------------------------
@@ -1157,7 +1268,7 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
 def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  wide: bool = True, ordered: bool = False,
                  compact_window: int = 0, steady_drain: int = 3,
-                 compact_order: str = "morton"):
+                 compact_order: str = "morton", seed_rows: int = 0):
     # steady_drain=3 + dual: the dual-expand steady-drain kernel
     # (_make_kernel_wide_sdd) — two 16-bit child masks fill the one
     # extracted int32, leaf rows drain LIFO D-per-iteration with no
@@ -1169,15 +1280,26 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     # on every real any-hit front (wash on closest, so only wired here).
     # compact_order="morton": origin-Morton window ordering, measured
     # -20..-30% on real NEE any-hit fronts (tools/bench_fronts.py wsmf16).
+    # seed_rows=K pre-tests every ray against the K largest-area leaf rows
+    # (make_seed_test): already-occluded lanes get zero directions, retire
+    # at the degenerate-ray guard, and windowed compaction drops them —
+    # only genuinely-hard occlusion rays walk the tree. Exact.
     trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True,
                            steady_drain=steady_drain,
                            compact_window=compact_window,
                            drain_first=steady_drain > 0,
                            compact_order=compact_order)
+    seed = make_seed_test(bvh, seed_rows) if seed_rows > 0 else None
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):
+        occ_seed = None
+        if seed is not None:
+            occ_seed = seed(origin, direction, t_min, t_max)
+            direction = jnp.where(occ_seed[..., None], 0.0, direction)
         t, prim, _, _ = trav(bvh, origin, direction, t_min, t_max, any_hit=True)
         hit = prim >= 0
+        if occ_seed is not None:
+            hit = jnp.logical_or(hit, occ_seed)
         if scene.sphere_center.shape[0] > 0:
             from rust_renderer_tpu.ops.intersect import _intersect_spheres
 

@@ -50,8 +50,12 @@ def _parse(node_miss, node_leaf):
     return left, right, parent
 
 
-def _emit(root, lo, hi, left, right, node_leaf_ref):
-    """Re-emit pre-order arrays (min, max, miss, leaf) from child links."""
+def _emit(root, lo, hi, left, right, node_leaf_ref, child_order="keep"):
+    """Re-emit pre-order arrays (min, max, miss, leaf) from child links.
+
+    child_order="area" emits each internal node's larger-surface-area child
+    FIRST (the property the greedy builder's natural order tends to have,
+    which the any-hit walk's early termination depends on)."""
     n = len(node_leaf_ref)
     out_min = np.empty((n, 3), np.float32)
     out_max = np.empty((n, 3), np.float32)
@@ -65,8 +69,12 @@ def _emit(root, lo, hi, left, right, node_leaf_ref):
         out_leaf[k] = node_leaf_ref[i]
         k += 1
         if node_leaf_ref[i] < 0:
-            stack.append(int(right[i]))
-            stack.append(int(left[i]))
+            a, b = int(left[i]), int(right[i])
+            if child_order == "area" and (
+                    _half_area(lo[b], hi[b]) > _half_area(lo[a], hi[a])):
+                a, b = b, a
+            stack.append(b)
+            stack.append(a)
     assert k == n, (k, n)
     # miss pointers from the pre-order layout (same reverse sweep as the
     # native builder): leaf extent = i+1; internal = extent of right child,
@@ -83,7 +91,8 @@ def _emit(root, lo, hi, left, right, node_leaf_ref):
 
 
 def optimize_reinsertion(node_min, node_max, node_miss, node_leaf,
-                         passes: int = 8, frac: float = 0.05):
+                         passes: int = 8, frac: float = 0.05,
+                         child_order: str = "keep"):
     """Return improved (node_min, node_max, node_miss, node_leaf).
 
     Each pass detaches the top `frac` nodes by Bittner's inefficiency
@@ -94,6 +103,12 @@ def optimize_reinsertion(node_min, node_max, node_miss, node_leaf,
     n = len(node_leaf)
     if n < 16:
         return node_min, node_max, node_miss, node_leaf
+    if passes == 0:
+        lo = np.array(node_min, np.float64)
+        hi = np.array(node_max, np.float64)
+        leaf_ref = np.asarray(node_leaf, np.int64)
+        left, right, _ = _parse(np.asarray(node_miss, np.int64), leaf_ref)
+        return _emit(0, lo, hi, left, right, leaf_ref, child_order)
     lo = np.array(node_min, np.float64)
     hi = np.array(node_max, np.float64)
     leaf_ref = np.asarray(node_leaf, np.int64)
@@ -200,4 +215,4 @@ def optimize_reinsertion(node_min, node_max, node_miss, node_leaf,
         internal_sum = float(sum(sa(i) for i in range(n) if leaf_ref[i] < 0))
         log.info("reinsert pass %d: moved %d, internal SA %.4g (%.3fx)",
                  p, moved, internal_sum, internal_sum / internal_sum0)
-    return _emit(root, lo, hi, left, right, leaf_ref)
+    return _emit(root, lo, hi, left, right, leaf_ref, child_order)

@@ -357,7 +357,8 @@ def build_path_tracing_render_graph(
                                        compact_order=cfg.compact_order)
     any_hit = bvh_ops.make_any_hit(scene_bvh,
                                    compact_window=cfg.compact_window,
-                                   compact_order=cfg.compact_order)
+                                   compact_order=cfg.compact_order,
+                                   seed_rows=cfg.seed_rows)
     use_cubemap_sky = cfg.sky_mode == "cubemap"
 
     def reference_pt(res, scene, view, u):

@@ -81,6 +81,17 @@ class StaticConfig:
     # two runs): closest b2-b4 -10..-17%, NEE any-hit b1-b4 -13..-30%,
     # camera front a wash. Results stay exact (scheduling only).
     compact_order: str = "morton"
+    # Occlusion-query seeding: test every NEE/shadow ray against the K
+    # largest-total-area leaf rows BEFORE traversal (ops/bvh.py
+    # make_seed_test); already-occluded lanes get zero directions and
+    # retire at the degenerate-ray guard, so compaction drops them from
+    # the walk. Exact (occlusion is boolean). 0 = off. Default 4:
+    # TPU-measured on real NEE fronts (tools/bench_fronts.py sk4 vs
+    # wsmf16) -11/-7/-5% on anyhit b1-b3, flat b4, ~free elsewhere
+    # (48 static-constant triangle tests, no gathers). The CPU replay's
+    # bigger win (0.37x) only applies to full-length occlusion queries —
+    # real light rays are distance-limited and already cheap.
+    seed_rows: int = 4
     # Split the PT frame into separate XLA programs at the reference_pt
     # boundary (gbuffer+ReSTIR | bounce loop | present) via
     # PassBuilder.isolate. MEASURED AND REJECTED as a compile-latency fix

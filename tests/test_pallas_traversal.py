@@ -374,6 +374,29 @@ def test_windowed_compaction_matches():
     np.testing.assert_array_equal(np.asarray(pa1) >= 0, np.asarray(pa0) >= 0)
 
 
+def test_seed_occlusion_matches():
+    """make_seed_test kills only genuinely-occluded lanes: traversing the
+    survivors and OR-ing the seed verdict must reproduce the plain any-hit
+    answer exactly (the make_any_hit seed_rows mechanism)."""
+    b = _soup_bvh(n=400, seed=41)
+    o, d = _rays(2048, seed=42)
+
+    _, p0, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    base_occ = np.asarray(p0) >= 0
+
+    seed = bvhmod.make_seed_test(b, 4)
+    assert seed is not None
+    occ = np.asarray(seed(o, d, 1e-3, 1e4))
+    # seed verdicts are a subset of true occlusions
+    assert not np.any(occ & ~base_occ)
+
+    d2 = jnp.where(jnp.asarray(occ)[..., None], 0.0, d)
+    _, p1, _, _ = bvhmod.traverse_packet(b, o, d2, any_hit=True)
+    combined = (np.asarray(p1) >= 0) | occ
+    np.testing.assert_array_equal(combined, base_occ)
+    assert occ.any(), "seed rows never fired — test scene too sparse"
+
+
 def test_window_forward_map():
     from rust_renderer_tpu.ops import compaction
 

@@ -273,6 +273,25 @@ def main():
                 bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
                 method="sort", order="morton", any_hit=any_hit, dual=True,
                 steady_drain=3)
+        if v.startswith("sk"):
+            # occluder-seed kill (K top-area rows tested pre-walk; occluded
+            # lanes zeroed) + the full production composition. Closest-hit
+            # columns run WITHOUT seeding (occlusion-only mechanism) so
+            # they double as a wsm16/wsmf16 control.
+            from rust_renderer_tpu.ops import compaction
+            if any_hit:
+                seed = bvhmod.make_seed_test(bvh, int(v[2:]))
+                occ = seed(o, d, tmin, tmax)
+                d = jnp.where(occ[..., None], 0.0, d)
+            out = compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=16, method="sort",
+                order="morton", any_hit=any_hit, dual=True, steady_drain=3,
+                drain_first=any_hit)
+            if any_hit:
+                t_, p_, u_, v_ = out
+                p_ = jnp.where(occ, jnp.maximum(p_, 0), p_)
+                return t_, p_, u_, v_
+            return out
         if v.startswith("wc"):
             # windowed live-lane compaction (wc8 = 8-block windows, sort
             # moves; wcg8 = scatter/gather moves); the in-graph permutation

@@ -68,33 +68,59 @@ def main():
     print(f"{len(idx)} triangles", flush=True)
     fronts = make_fronts(scene, (cam_eye, cam_look), args.blocks)
 
-    t0 = time.time()
-    base = bvhmod.build_bvh(pos, idx, leaf_size=12)
-    print(f"base build {time.time() - t0:.1f}s", flush=True)
-    t0 = time.time()
-    opt = bvhmod.build_bvh(pos, idx, leaf_size=12,
-                           reinsert_passes=args.passes)
-    print(f"opt build {time.time() - t0:.1f}s", flush=True)
+    # diagnostic: biggest node box of the raw binary tree (the internal-SA
+    # sums printed by the optimizer looked ~1e78 — find the culprit)
+    from rust_renderer_tpu import native
+    raw = native.build_bvh_sah(pos, idx.astype(np.int32), 12)
+    if raw is not None:
+        nm, nx = raw[0], raw[1]
+        d = np.maximum(nx - nm, 0.0)
+        areas = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+        top = np.argsort(-areas)[:3]
+        for i in top:
+            print(f"  big node {i}: area {areas[i]:.3g} lo {nm[i]} hi {nx[i]}")
 
-    # exactness: closest-t identical on a sample block of each front
-    for label, (o, d) in fronts:
-        _, _, t_a = walk_block(base, o[:1024], d[:1024], return_t=True)
-        _, _, t_b = walk_block(opt, o[:1024], d[:1024], return_t=True)
-        if not np.array_equal(t_a, t_b):
-            bad = int((t_a != t_b).sum())
-            print(f"WARNING {label}: {bad}/1024 best_t differ "
-                  f"(max rel {np.max(np.abs(t_a - t_b) / np.maximum(t_a, 1e-9)):.2e})")
-        else:
-            print(f"{label}: best_t bit-equal", flush=True)
+    import functools
+    builders = {
+        "base": functools.partial(bvhmod.build_bvh, pos, idx, leaf_size=12),
+        "base+area": functools.partial(
+            bvhmod.build_bvh, pos, idx, leaf_size=12, reinsert_passes=0,
+            reinsert_child_order="area"),
+        "opt": functools.partial(
+            bvhmod.build_bvh, pos, idx, leaf_size=12,
+            reinsert_passes=args.passes),
+        "opt+area": functools.partial(
+            bvhmod.build_bvh, pos, idx, leaf_size=12,
+            reinsert_passes=args.passes, reinsert_child_order="area"),
+    }
+    trees = {}
+    for name, fn in builders.items():
+        t0 = time.time()
+        trees[name] = fn()
+        print(f"{name} build {time.time() - t0:.1f}s", flush=True)
 
-    rows_a = replay(base, fronts, args.blocks)
-    rows_b = replay(opt, fronts, args.blocks)
-    print(f"{'front':16s} {'base pops/leaf':>20s} {'reinsert pops/leaf':>22s} ratio")
-    for key in rows_a:
-        pa, la = rows_a[key]
-        pb, lb = rows_b[key]
-        print(f"{key[0]+' '+key[1]:16s} {pa:10.1f}/{la:8.1f} "
-              f"{pb:12.1f}/{lb:8.1f}  {pb / pa:5.2f}x", flush=True)
+    base = trees["base"]
+    for name, tree in trees.items():
+        if name == "base":
+            continue
+        for label, (o, d) in fronts:
+            _, _, t_a = walk_block(base, o[:1024], d[:1024], return_t=True)
+            _, _, t_b = walk_block(tree, o[:1024], d[:1024], return_t=True)
+            if not np.array_equal(t_a, t_b):
+                bad = int((t_a != t_b).sum())
+                print(f"WARNING {name}/{label}: {bad}/1024 best_t differ")
+
+    rows = {name: replay(tree, fronts, args.blocks)
+            for name, tree in trees.items()}
+    names = list(trees)
+    print(f"{'front':16s} " + " ".join(f"{v:>16s}" for v in names))
+    for key in rows["base"]:
+        line = f"{key[0]+' '+key[1]:16s} "
+        pa = rows["base"][key][0]
+        for v in names:
+            p_, l_ = rows[v][key]
+            line += f" {p_:7.1f} ({p_/pa:4.2f}x)"
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
