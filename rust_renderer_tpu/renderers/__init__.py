@@ -73,7 +73,7 @@ def build_render_graph(
         # compute passes are skipped this frame (ibl.rs:63-66 semantics).
         _declare_env_resources(graph, cfg)
     if raytracing_supported:
-        setup_rt_shadows_pass(graph, scene_bvh, w, h)
+        setup_rt_shadows_pass(graph, scene_bvh, cfg, w, h)
         setup_rt_reflections_pass(graph, scene_bvh, cfg, w, h)
     else:
         # Fallback resources: fully lit rt-shadow plane, black reflections

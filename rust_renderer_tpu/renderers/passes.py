@@ -202,9 +202,12 @@ def setup_environment_passes(graph: Graph, cfg, sun_dir) -> None:
 # -- raytraced shadows / reflections (renderers/rt_shadows.rs, rt_reflections.rs)
 
 
-def setup_rt_shadows_pass(graph: Graph, scene_bvh, width: int, height: int) -> None:
+def setup_rt_shadows_pass(graph: Graph, scene_bvh, cfg,
+                          width: int, height: int) -> None:
     """1 sun-visibility ray per gbuffer pixel, binary R8 output
-    (rt_shadows.rgen)."""
+    (rt_shadows.rgen). Camera-coherent occlusion queries are the
+    occluder-seed sweet spot (tools/eval_seed.py: 97.6% killed pre-walk
+    by the K=4 largest-area rows), so cfg.seed_rows applies here too."""
     graph.create_texture("rt_shadows", width, height, 1, clear=1.0)
 
     def render(res, scene, view, u):
@@ -214,7 +217,7 @@ def setup_rt_shadows_pass(graph: Graph, scene_bvh, width: int, height: int) -> N
         normal = res["gbuffer_normal"][..., :3]
         origin = rayops.offset_ray(pos, normal)
         sun = view.sun_dir / jnp.linalg.norm(view.sun_dir)
-        occluded = bvh_ops.make_any_hit(scene_bvh)(
+        occluded = bvh_ops.make_any_hit(scene_bvh, seed_rows=cfg.seed_rows)(
             scene, origin, jnp.broadcast_to(sun, origin.shape)
         )
         is_sky = jnp.all(res["gbuffer_position"][..., :3] == 1.0, axis=-1)

@@ -68,11 +68,14 @@ class StaticConfig:
     # Windowed live-lane compaction for the PT bounce traversals
     # (ops/compaction.py): lanes sort live-first within windows of N
     # adjacent packet blocks, so late bounce fronts skip dead blocks.
-    # 0 = off. Scheduling-only: results are bit-identical. Default 16:
-    # TPU-measured round 3 (tools/bench_fronts.py wsd16) — composed with
-    # the steady-drain kernel it cuts every bounce front 1.3-1.8x and
-    # costs the 100%-live camera front ~1 ms of sort.
-    compact_window: int = 16
+    # 0 = off. Scheduling-only: results are bit-identical. Default 64
+    # (snaps to 45 at 1080p's 2025 blocks): with Morton ordering the
+    # window sweep is monotonic up to 64 then REVERSES — wsm64 beats
+    # wsm16 by 7-18% on b2-b4 fronts, wsm128 is a wash, and global
+    # (wsm256 at 512²) loses everywhere (sort cost + frame-wide origin
+    # scramble). Round-3 history: 16 was the wsd16 (live-first) optimum
+    # before Morton ordering existed.
+    compact_window: int = 64
     # Ordering of live lanes within each compaction window: "morton" sorts
     # by origin Morton code (unions are origin-driven — clustering origins
     # narrows each surviving block's walk), "live" keeps stable image
