@@ -121,7 +121,15 @@ def test_pt_graph_traces_animated_isosurface():
         irradiance_size=8, brdf_lut_size=16, num_bounces=2, mc_grid=GRID,
     )
     app = Application(size, size, RenderGraphMode.PATH_TRACED, cfg)
-    app.create_scene(create_cornell_box_scene)
+
+    # One point light keeps the direct-lighting chain in the graph — the
+    # zero-light fast path (renderers/__init__.py skip_restir) otherwise
+    # builds the PT graph WITHOUT the gbuffer this test inspects.
+    def scene_with_light(renderer, camera):
+        create_cornell_box_scene(renderer, camera)
+        renderer.add_light([0.0, 1.9, 0.0], [1.0, 1.0, 1.0])
+
+    app.create_scene(scene_with_light)
     app.view = app.view.replace(marching_cubes_enabled=np.uint32(1))
     # Aim the camera at the MC region — the graph extracts over the fixed
     # [0,32]^3 world domain at any mc_grid tessellation.
