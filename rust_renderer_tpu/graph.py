@@ -33,6 +33,8 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+from rust_renderer_tpu.settings import pack_view, unpack_view
+
 log = logging.getLogger(__name__)
 
 TextureId = str
@@ -302,7 +304,11 @@ class Graph:
         sanitize = self.sanitize
 
         def make_group_fn(passes: list[RenderPass]):
-            def group_fn(resources: dict, scene, view, uniforms: list[dict]):
+            def group_fn(resources: dict, scene, view_buf, uniforms: list[dict]):
+                # One packed f32 buffer = one host->device transfer per call
+                # (vs ~30 leaf transfers, each paying tunnel latency — the
+                # ViewUniformData single-UBO-write analog, renderer.rs:84-120).
+                view = unpack_view(view_buf)
                 resources = dict(resources)
                 checks: dict[str, jax.Array] = {}
                 # Transient resources materialize on first use; declared
@@ -325,6 +331,7 @@ class Graph:
 
         resources: dict[str, jax.Array] = dict(self.state)
         checks: dict[str, jax.Array] = {}
+        view_buf = pack_view(view)
         for gi, group in enumerate(groups):
             key = (sig, gi)
             if key not in self._compiled:
@@ -337,7 +344,8 @@ class Graph:
             uniforms = [p.uniforms for p in group]
             fn = self._compiled[key]
             try:
-                resources, group_checks = fn(resources, scene, view, uniforms)
+                resources, group_checks = fn(
+                    resources, scene, view_buf, uniforms)
                 self._last_good[gi] = (fn, self._generation)
             except Exception:
                 # Keep-old-executable is ONLY for hot-reload-induced
@@ -356,7 +364,7 @@ class Graph:
                 )
                 self._compiled[key] = old[0]
                 resources, group_checks = old[0](
-                    resources, scene, view, uniforms
+                    resources, scene, view_buf, uniforms
                 )
             checks.update(group_checks)
         new_state = {n: resources[n] for n in persist if n in resources}

@@ -225,3 +225,67 @@ class RenderSettings:
 
     def replace(self, **kw: Any) -> "RenderSettings":
         return dataclasses.replace(self, **kw)
+
+
+# -- packed view transfer ----------------------------------------------------
+#
+# RenderSettings keeps ~30 small numpy leaves host-side (UI change tracking
+# reads them without device syncs), but handing the pytree straight to the
+# frame jit makes EVERY leaf its own host->device transfer each call — and
+# under the axon tunnel each transfer pays multi-ms latency (measured:
+# ~0.6 s/frame of host dispatch at 1080p vs 1.8 s device, PERFORMANCE.md
+# round 3). pack_view folds the whole struct into ONE f32 buffer (ints
+# bitcast), so a frame pays ONE transfer; unpack_view rebuilds the pytree
+# inside the jit with static slices + bitcasts (free under XLA).
+# The reference's analog is the single ViewUniformData UBO write per frame
+# (utopian/src/renderer.rs:84-120) — same idea: one packed upload.
+
+_VIEW_SPEC: tuple[list[tuple[str, tuple, Any, int, int]], int] | None = None
+
+
+def _view_spec():
+    """(name, shape, dtype, offset, size) per field, from the canonical
+    default() instance; field order is the dataclass declaration order."""
+    global _VIEW_SPEC
+    if _VIEW_SPEC is None:
+        d = RenderSettings.default()
+        spec = []
+        off = 0
+        for f in dataclasses.fields(RenderSettings):
+            v = np.asarray(getattr(d, f.name))
+            n = int(v.size)
+            spec.append((f.name, v.shape, v.dtype, off, n))
+            off += n
+        _VIEW_SPEC = (spec, off)
+    return _VIEW_SPEC
+
+
+def pack_view(v):
+    """Fold a RenderSettings into one flat float32 buffer (host side).
+    Non-RenderSettings views (tests hand the graph plain dicts) pass
+    through unchanged; unpack_view mirrors the choice."""
+    if not isinstance(v, RenderSettings):
+        return v
+    spec, total = _view_spec()
+    buf = np.empty((total,), np.float32)
+    for name, shape, dtype, off, n in spec:
+        a = np.asarray(getattr(v, name), dtype).reshape(-1)
+        buf[off:off + n] = a.view(np.float32)
+    return buf
+
+
+def unpack_view(buf):
+    """Traced inverse of pack_view: static slices + bitcasts, no data motion
+    on device (XLA folds them into the consumers). Anything that is not a
+    packed view buffer (see pack_view) passes through unchanged."""
+    spec, total = _view_spec()
+    if not (hasattr(buf, "shape") and tuple(getattr(buf, "shape", ())) ==
+            (total,) and getattr(buf, "dtype", None) == np.float32):
+        return buf
+    kw = {}
+    for name, shape, dtype, off, n in spec:
+        sl = buf[off:off + n]
+        if dtype != np.float32:
+            sl = jax.lax.bitcast_convert_type(sl, dtype)
+        kw[name] = sl.reshape(shape)
+    return RenderSettings(**kw)

@@ -258,6 +258,26 @@ def main():
             return compaction.traverse_compacted(
                 bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
                 method="sort", any_hit=any_hit, dual=True, steady_drain=3)
+        if v.startswith("wsn") and "d" in v[3:]:
+            # wsn<W>d<D>: morton windowed compaction + SINGLE-expand steady
+            # drain (16 boxes + D rows/iter ~= 2.8k vec ops vs dual's 3.3k).
+            # If late walks are drain-bound (iters = rows/D), dropping the
+            # second expand is a pure op-count cut.
+            from rust_renderer_tpu.ops import compaction
+            wb, dr = v[3:].split("d")
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(wb),
+                method="sort", order="morton", any_hit=any_hit, dual=False,
+                steady_drain=int(dr))
+        if v.startswith("wsm") and "d" in v[3:]:
+            # wsm<W>d<D>: morton windowed compaction, window W, drain D —
+            # the drain-depth sweep (are late walks drain-bound?)
+            from rust_renderer_tpu.ops import compaction
+            wb, dr = v[3:].split("d")
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(wb),
+                method="sort", order="morton", any_hit=any_hit, dual=True,
+                steady_drain=int(dr), drain_first=any_hit)
         if v.startswith("wsmf"):
             # morton-ordered windowed compaction + drain-first sdd3
             from rust_renderer_tpu.ops import compaction
