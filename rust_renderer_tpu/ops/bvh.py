@@ -70,6 +70,21 @@ class BVH(NamedTuple):
     # tree depths, used to size traversal stacks safely.
     max_depth: int = 64
     wide_depth: int = 16
+    # Row-cursor traversal metadata ((N+1, 3) int32, SMEM-resident in the
+    # kernel; None for trees built outside _finalize, e.g. the MC dynamic
+    # tree): per wide node [int_last, leaf_last, static_int_rev |
+    # static_leaf_rev << 16]. The wide collapse allocates each node's
+    # internal children CONTIGUOUSLY (FIFO order) and _finalize reorders
+    # leaf rows into collapse-encounter order, so a stack/queue entry can be
+    # one word (node_ptr << 16 | hitmask) and a pop decodes child pointers
+    # with ffs + popcount instead of per-child scalar pushes
+    # (PERFORMANCE.md round 3: mask pushes measure 0.71x the per-iteration
+    # cost of per-bit pushes). Masks are BIT-REVERSED (bit 15-slot) so
+    # lowest-bit-first decode preserves the production highest-slot-first
+    # visit order; int_last/leaf_last are the LAST child's index so
+    # ptr = last - count_of_set_static_bits_below(popped bit). Row N is the
+    # synthetic root entry's parent (int_last=0, static=1<<15).
+    wnode_meta: jax.Array | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -128,6 +143,12 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
     depth_of = [1]
     refs_rows: list[np.ndarray] = []
     box_rows: list[np.ndarray] = []  # (width, 6)
+    # Row-cursor metadata (see BVH.wnode_meta): contiguous-children bases +
+    # bit-reversed static child-kind masks, plus the leaf-row permutation
+    # (new row -> OLD leaf row id, with duplicates when dedup shared a row
+    # across wide nodes) that makes each node's leaf children contiguous.
+    meta_rows: list[tuple[int, int, int]] = []
+    leaf_order: list[int] = []
     wide_depth = 1
     w = 0
     while w < len(pending):
@@ -151,15 +172,29 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
         boxes = np.zeros((width, 6), np.float32)
         boxes[:, :3] = 1.0  # empty slots: masked by the ref sentinel
         boxes[:, 3:] = -1.0
+        int_base = len(pending)
+        leaf_base = len(leaf_order)
+        int_rev = 0
+        leaf_rev = 0
         for slot, e in enumerate(elems):
             if node_leaf[e] >= 0:
-                refs[slot] = np.int32(-2 - node_leaf[e])
+                refs[slot] = np.int32(-2 - len(leaf_order))
+                leaf_order.append(int(node_leaf[e]))
+                leaf_rev |= 1 << (width - 1 - slot)
             else:
                 pending.append(e)
                 depth_of.append(depth_of[w] + 1)
                 refs[slot] = np.int32(len(pending) - 1)
+                int_rev |= 1 << (width - 1 - slot)
             boxes[slot, :3] = node_min[e]
             boxes[slot, 3:] = node_max[e]
+        n_int = len(pending) - int_base
+        n_leaf = len(leaf_order) - leaf_base
+        meta_rows.append((
+            int_base + max(n_int - 1, 0),
+            leaf_base + max(n_leaf - 1, 0),
+            int_rev | (leaf_rev << width),
+        ))
         refs_rows.append(refs)
         box_rows.append(boxes)
         w += 1
@@ -172,12 +207,40 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
          refs.view(np.float32)],
         axis=1,
     ).astype(np.float32)
-    return packed, int(wide_depth)
+    # Synthetic root-parent row (the row-cursor stack's initial entry points
+    # here with hitmask 1<<15): one internal "child" = wide node 0.
+    meta_rows.append((0, 0, 1 << (width - 1)))
+    meta = np.asarray(meta_rows, np.int64)
+    meta = np.stack([meta[:, 0], meta[:, 1],
+                     meta[:, 2].astype(np.uint32).view(np.int32)],
+                    axis=1).astype(np.int32)
+    leaf_perm = np.asarray(leaf_order, np.int64)
+    return packed, int(wide_depth), meta, leaf_perm
 
 
 def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
               miss, node_leaf, leaf_arr) -> BVH:
     """Pre-gather leaf triangle vertices and assemble the device arrays."""
+    # Collapse first: it renumbers leaf rows into collapse-encounter order
+    # (each wide node's leaf children contiguous — the row-cursor kernels'
+    # single-word mask-entry encoding needs this; see BVH.wnode_meta). The
+    # canonical leaf table is built in the NEW order and the binary tree's
+    # leaf refs are remapped to each old row's first new occurrence, so
+    # every traversal path sees one consistent table.
+    node_leaf = np.asarray(node_leaf, np.int64)
+    wnode_packed, wide_depth, wnode_meta, leaf_perm = _collapse_wide(
+        node_min, node_max, miss, node_leaf)
+    if len(leaf_perm) == 0:
+        leaf_perm = np.arange(leaf_arr.shape[0], dtype=np.int64)
+    if len(leaf_perm) > leaf_arr.shape[0]:
+        log.info("bvh: wide collapse duplicated %d shared leaf rows",
+                 int(len(leaf_perm) - leaf_arr.shape[0]))
+    leaf_arr = np.asarray(leaf_arr)[leaf_perm]
+    new_of_old = np.zeros(max(int(leaf_perm.max(initial=-1)) + 1, 1),
+                          np.int64)
+    new_of_old[leaf_perm[::-1]] = np.arange(len(leaf_perm))[::-1]
+    node_leaf = np.where(node_leaf >= 0,
+                         new_of_old[np.maximum(node_leaf, 0)], node_leaf)
     leaf_size = leaf_arr.shape[1]
     safe = np.maximum(leaf_arr, 0)
     l_i = indices[safe]
@@ -232,7 +295,6 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
             right = miss_i[i + 1]
             if right >= 0:
                 stack.append((int(right), depth + 1))
-    wnode_packed, wide_depth = _collapse_wide(node_min, node_max, miss_i, leaf_i)
     return BVH(
         node_min=jnp.asarray(node_min, jnp.float32),
         node_max=jnp.asarray(node_max, jnp.float32),
@@ -247,6 +309,7 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         wnode_packed=jnp.asarray(wnode_packed),
         max_depth=int(max_depth),
         wide_depth=int(wide_depth),
+        wnode_meta=jnp.asarray(wnode_meta),
     )
 
 

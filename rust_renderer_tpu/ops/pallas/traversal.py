@@ -1213,6 +1213,332 @@ def _make_kernel_wide_sdd(leaf_size: int, any_hit: bool, drain: int,
     return kernel
 
 
+RC_SCAP = 64    # row-cursor per-cursor stack entries (1 per wide-tree level)
+RC_QCAP = 192   # row-cursor per-cursor leaf-queue entries (<=16 rows each)
+
+
+def _pc16(x):
+    """Scalar popcount of a 16-bit value (SWAR; no popcount intrinsic
+    dependence in Mosaic)."""
+    x = x - ((x >> 1) & 0x5555)
+    x = (x & 0x3333) + ((x >> 2) & 0x3333)
+    x = (x + (x >> 4)) & 0x0F0F
+    return (x + (x >> 8)) & 0x1F
+
+
+def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
+                          expand: int):
+    """Row-cursor traversal: EIGHT independent walk cursors per block, one
+    per (1,128) sublane row of the packet.
+
+    The packet-union width is the structural traversal bound (a block walks
+    the union of its 1024 lanes' node sets — PERFORMANCE.md round 3). Eight
+    cursors walk eight 128-lane unions instead; with Morton-compacted lane
+    order the per-row unions are narrow, and the replay measures 0.30-0.50x
+    iterations (max over cursors) vs the production dual-expand drain. The
+    per-iteration VECTOR work is unchanged: a slot test carries a DIFFERENT
+    node per sublane for free — each expand gathers its 8 cursors' node
+    rows into one (8, cols) tile (8 dynamic slices) and the slab operands
+    are (8,1) column slices instead of scalar broadcasts; leaf drains
+    likewise retire 8 rows (one per cursor) per slot at the vector cost of
+    one.
+
+    Per-bit child pushes would eat the win on the scalar side (measured
+    1.24-1.91x per-iteration — tools/probe_rowcursor.py); instead stack and
+    queue entries are ONE WORD, (node_ptr << 16) | hitmask, decoded at pop
+    time with ffs + SWAR popcount against the node's static child-kind
+    masks (bvh.wnode_meta, SMEM-resident: [int_last, leaf_last,
+    static_int_rev | static_leaf_rev << 16]). The wide collapse allocates
+    each node's internal children contiguously and _finalize reorders leaf
+    rows to match, so a popped bit's child pointer is last - rank. Masks
+    are bit-REVERSED (bit 15-slot) so lowest-bit-first decode preserves
+    the production kernels' highest-slot-first visit order (slot order is
+    perf-sensitive: PERFORMANCE.md round-3 dirpush).
+
+    expand=1 or 2 node expands per cursor per iteration; `drain` leaf rows
+    per cursor per iteration (steady drain, no conds on the vector path).
+    Reference role: the traversal scheduling of
+    utopian/src/raytracing.rs:113-217, re-planned for packet SIMD.
+    """
+    from rust_renderer_tpu.ops.bvh import WIDE_WIDTH as W
+    assert W == 16
+
+    def kernel(node_ref, leaf_ref, meta_ref, o_ref, d_ref, tlim_ref,
+               t_out, prim_out, u_out, v_out, stack_ref, queue_ref):
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12,
+                             jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        n_meta = meta_ref.shape[0]
+        dead_row = leaf_ref.shape[0] - 1  # all-pad row appended at launch
+        lsr = jax.lax.shift_right_logical
+        # Synthetic root entry: meta row n_meta-1 has int_last=0 and
+        # static_int_rev = 1<<15, so popping bit 15 expands wide node 0.
+        root_entry = jnp.int32(((n_meta - 1) << 16) | (1 << (W - 1)))
+        for g in range(8):
+            stack_ref[g, 0] = root_entry
+            queue_ref[g, 0] = jnp.int32(0)
+
+        def slab_cols(rows, c, best_t, not_done):
+            b = lambda k: rows[:, k * W + c:k * W + c + 1]
+            tx0 = (b(0) - ox) * ix
+            ty0 = (b(1) - oy) * iy
+            tz0 = (b(2) - oz) * iz
+            tx1 = (b(3) - ox) * ix
+            ty1 = (b(4) - oy) * iy
+            tz1 = (b(5) - oz) * iz
+            tnear = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                            jnp.minimum(ty0, ty1)),
+                                jnp.minimum(tz0, tz1))
+            tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            return ((tfar >= jnp.maximum(tnear, t_min))
+                    & (tnear <= best_t) & not_done)
+
+        def tri_tests_cols(lrows, args):
+            """12 slot tests; each sublane tests ITS cursor's leaf row."""
+            best_t, best_prim, best_u, best_v, done = args
+            lrows_i = jax.lax.bitcast_convert_type(lrows, jnp.int32)
+            alive = done == 0
+            cands = []
+            hits = []
+            for s in range(leaf_size):
+                b = s * 9
+                col = lambda k: lrows[:, b + k:b + k + 1]
+                v0x, v0y, v0z = col(0), col(1), col(2)
+                e1x, e1y, e1z = col(3), col(4), col(5)
+                e2x, e2y, e2z = col(6), col(7), col(8)
+                tri = lrows_i[:, 9 * leaf_size + s:9 * leaf_size + s + 1]
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                ok = (
+                    (tri >= 0)
+                    & (jnp.abs(det) > 1e-12)
+                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > t_min) & (t < best_t)
+                    & alive
+                )
+                if any_hit:
+                    hits.append(ok)
+                    continue
+                cands.append((
+                    jnp.where(ok, t, 3.0e38),
+                    jnp.where(ok, jnp.broadcast_to(tri, ok.shape), -1),
+                    u, v,
+                ))
+            if any_hit:
+                while len(hits) > 1:
+                    hits = [
+                        jnp.logical_or(hits[i], hits[i + 1])
+                        if i + 1 < len(hits) else hits[i]
+                        for i in range(0, len(hits), 2)
+                    ]
+                hit_any = hits[0]
+                best_prim = jnp.where(hit_any, jnp.int32(0), best_prim)
+                done = jnp.maximum(done, hit_any.astype(jnp.int32))
+                return best_t, best_prim, best_u, best_v, done
+
+            def merge(a, b):
+                ta, pa, ua, va = a
+                tb, pb, ub, vb = b
+                take_b = tb < ta
+                return (
+                    jnp.where(take_b, tb, ta),
+                    jnp.where(take_b, pb, pa),
+                    jnp.where(take_b, ub, ua),
+                    jnp.where(take_b, vb, va),
+                )
+
+            while len(cands) > 1:
+                cands = [
+                    merge(cands[i], cands[i + 1])
+                    if i + 1 < len(cands) else cands[i]
+                    for i in range(0, len(cands), 2)
+                ]
+            t_c, p_c, u_c, v_c = cands[0]
+            improved = t_c < best_t
+            best_t = jnp.where(improved, t_c, best_t)
+            best_prim = jnp.where(improved, p_c, best_prim)
+            best_u = jnp.where(improved, u_c, best_u)
+            best_v = jnp.where(improved, v_c, best_v)
+            return best_t, best_prim, best_u, best_v, done
+
+        def cond(state):
+            pend = state[0]
+            for k in range(1, 16):
+                pend = pend | state[k]
+            return pend > 0
+
+        def body(state):
+            sps = list(state[0:8])
+            qns = list(state[8:16])
+            best_t, best_prim, best_u, best_v, done = state[16:21]
+            not_done = done == 0
+
+            # Pops: per expand slot, each cursor decodes one bit off its
+            # top stack entry (ptr<<16 | hitmask; masks bit-reversed so the
+            # low bit is the highest slot = production visit order).
+            exp_ptrs = []   # expand-major: [e][g] -> (child_ptr, active)
+            for _e in range(expand):
+                ptrs = []
+                for g in range(8):
+                    sp = sps[g]
+                    has = sp > 0
+                    ent = stack_ref[g, jnp.maximum(sp - 1, 0)]
+                    m = ent & jnp.int32(0xFFFF)
+                    m = jnp.where(has, m, 0)
+                    low = m & -m
+                    rest = m ^ low
+                    pn = lsr(ent, 16)
+
+                    @pl.when(rest != 0)
+                    def _(g=g, at=jnp.maximum(sp - 1, 0), v=ent ^ low):
+                        stack_ref[g, at] = v
+
+                    sps[g] = jnp.where(has & (rest == 0), sp - 1, sp)
+                    st_int = meta_ref[pn, 2] & jnp.int32(0xFFFF)
+                    child = meta_ref[pn, 0] - _pc16(st_int & (low - 1))
+                    ptrs.append((jnp.where(has, child, 0), has))
+                exp_ptrs.append(ptrs)
+
+            # Expands: one (8, cols) gathered node tile per expand slot;
+            # each sublane's slab operands are its own cursor's node.
+            packed = jnp.zeros((8, 128), jnp.int32)
+            for e in range(expand):
+                rows = jnp.concatenate(
+                    [node_ref[pl.ds(exp_ptrs[e][g][0], 1)] for g in range(8)],
+                    axis=0)
+                for c in range(W):
+                    hit = slab_cols(rows, c, best_t, not_done)
+                    # bit-reversed position, expand e in bits [16e, 16e+16)
+                    packed = packed | (
+                        hit.astype(jnp.int32) << (e * W + (W - 1 - c)))
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                packed = packed | pltpu.roll(packed, s, axis=1)
+
+            # Mask extraction: expand=2 fills int32 per sublane (8 extracts);
+            # expand=1 pairs sublanes into 4 words.
+            words = {}
+            if expand == 2:
+                for g in range(8):
+                    words[g] = packed[g, 0]
+            else:
+                rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                hi = jnp.where(rid % 2 == 1, packed << 16, 0)
+                lo = jnp.where(rid % 2 == 0, packed, 0)
+                comb = lo | pltpu.roll(hi, 7, axis=0)
+                for g2 in range(0, 8, 2):
+                    w = comb[g2, 0]
+                    words[g2] = w & jnp.int32(0xFFFF)
+                    words[g2 + 1] = lsr(w, 16)
+
+            # Pushes: ONE entry per expanded node per kind (internal mask
+            # to the stack, leaf mask to the queue) — no per-child scalars.
+            # Expand slot 1 (the DFS-later node) pushes BEFORE slot 0 so
+            # slot 0's subtree keeps popping first (matches sdd).
+            for e in range(expand - 1, -1, -1):
+                for g in range(8):
+                    ptr, act = exp_ptrs[e][g]
+                    w = words[g]
+                    m16 = (lsr(w, 16 * e) & jnp.int32(0xFFFF))
+                    m16 = jnp.where(act, m16, 0)
+                    m2 = meta_ref[ptr, 2]
+                    int_hit = m16 & m2 & jnp.int32(0xFFFF)
+                    leaf_hit = m16 & (lsr(m2, 16) & jnp.int32(0xFFFF))
+                    ent_i = (ptr << 16) | int_hit
+                    ent_l = (ptr << 16) | leaf_hit
+
+                    @pl.when(int_hit != 0)
+                    def _(g=g, at=jnp.minimum(sps[g], RC_SCAP - 1), v=ent_i):
+                        stack_ref[g, at] = v
+
+                    # Overflow clamps (overwrites the top entry) rather than
+                    # running off the buffer — same degradation class as the
+                    # sdd queue; capacities are sized far above measured
+                    # peaks (stack <= wide_depth+1 entries by construction).
+                    sps[g] = jnp.minimum(
+                        sps[g] + (int_hit != 0).astype(jnp.int32), RC_SCAP)
+
+                    @pl.when(leaf_hit != 0)
+                    def _(g=g, at=jnp.minimum(qns[g], RC_QCAP - 1), v=ent_l):
+                        queue_ref[g, at] = v
+
+                    qns[g] = jnp.minimum(
+                        qns[g] + (leaf_hit != 0).astype(jnp.int32), RC_QCAP)
+
+            # Steady drain: per slot, each cursor decodes one leaf ROW off
+            # its top queue entry (empty queues test the dead row).
+            args = (best_t, best_prim, best_u, best_v, done)
+            for _k in range(drain):
+                rows_idx = []
+                for g in range(8):
+                    qn = qns[g]
+                    has = qn > 0
+                    ent = queue_ref[g, jnp.maximum(qn - 1, 0)]
+                    m = ent & jnp.int32(0xFFFF)
+                    m = jnp.where(has, m, 0)
+                    low = m & -m
+                    rest = m ^ low
+                    pn = lsr(ent, 16)
+
+                    @pl.when(rest != 0)
+                    def _(g=g, at=jnp.maximum(qn - 1, 0), v=ent ^ low):
+                        queue_ref[g, at] = v
+
+                    qns[g] = jnp.where(has & (rest == 0), qn - 1, qn)
+                    st_leaf = lsr(meta_ref[pn, 2], 16) & jnp.int32(0xFFFF)
+                    row = meta_ref[pn, 1] - _pc16(st_leaf & (low - 1))
+                    rows_idx.append(jnp.where(has, row, dead_row))
+                lrows = jnp.concatenate(
+                    [leaf_ref[pl.ds(rows_idx[g], 1)] for g in range(8)],
+                    axis=0)
+                args = tri_tests_cols(lrows, args)
+            best_t, best_prim, best_u, best_v, done = args
+            return (*sps, *qns, best_t, best_prim, best_u, best_v, done)
+
+        init = tuple(jnp.int32(1) for _ in range(8)) + tuple(
+            jnp.int32(0) for _ in range(8)) + (
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        best_t, best_prim, best_u, best_v = out[16:20]
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+
+    return kernel
+
+
 def _make_kernel_wide_dual(leaf_size: int, any_hit: bool,
                            dma_leaf: bool = False):
     """BVH-wide stack traversal popping TWO nodes per iteration.
@@ -1654,13 +1980,14 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
     static_argnames=(
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
         "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
-        "steady_drain", "drain_first",
+        "steady_drain", "drain_first", "row_cursors", "row_expand",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
          dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False,
-         steady_drain=0, drain_first=False):
+         steady_drain=0, drain_first=False, row_cursors=0, row_expand=2,
+         meta=None):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -1694,6 +2021,21 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         pltpu.VMEM((1, leaf_cols), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ] if dma_leaf else []
+    if wide and row_cursors > 0 and meta is not None:
+        kernel = _make_kernel_wide_row(
+            leaf_size, any_hit, steady_drain if steady_drain > 0 else 3,
+            row_expand)
+        in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
+        grid_spec = pl.GridSpec(
+            grid=(b,), in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.SMEM((8, RC_SCAP), jnp.int32),
+                pltpu.SMEM((8, RC_QCAP), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(kernel, out_shape=out_shape,
+                              grid_spec=grid_spec)(
+            node_packed, leaf_packed, meta, o, d, tlim)
     if wide and nb > 1:
         kernel = _make_kernel_wide_multi(leaf_size, any_hit, nb,
                                          dma_leaf=dma_leaf)
@@ -1754,7 +2096,8 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            multi: int = 1, dma_leaf: bool = False,
                            dual: bool = False, stats: bool = False,
                            leaf_queue: int = 0, mask_via_vmem: bool = False,
-                           steady_drain: int = 0, drain_first: bool = False):
+                           steady_drain: int = 0, drain_first: bool = False,
+                           row_cursors: int = 0, row_expand: int = 2):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -1831,12 +2174,30 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     while nb > 1 and o.shape[0] % nb:
         nb //= 2
     assert not (dma_leaf and not wide), "dma_leaf requires the wide kernel"
+    meta = None
+    if row_cursors:
+        meta = getattr(bvh, "wnode_meta", None)
+        too_big = bvh.wnode_packed.shape[0] + 1 > (1 << 16)
+        if (not wide or meta is None or dma_leaf or stats or too_big):
+            # Trees without collapse metadata (e.g. the MC dynamic tree),
+            # >64k-node trees (entries pack ptr<<16), and the DMA-leaf /
+            # stats paths fall back to the steady-drain kernel.
+            row_cursors = 0
+            meta = None
+        else:
+            # One all-dead row (tri ids -1) for empty-queue drain slots.
+            dead = jnp.zeros((1, leaf_table.shape[1]), jnp.float32)
+            neg1 = jax.lax.bitcast_convert_type(
+                jnp.full((ls,), -1, jnp.int32), jnp.float32)
+            dead = dead.at[0, 9 * ls:9 * ls + ls].set(neg1)
+            leaf_table = jnp.concatenate([leaf_table, dead], axis=0)
     out = _run(
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
         stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,
         dual=dual, stats=stats, leaf_queue=leaf_queue,
         mask_via_vmem=mask_via_vmem, steady_drain=steady_drain,
-        drain_first=drain_first,
+        drain_first=drain_first, row_cursors=row_cursors,
+        row_expand=row_expand, meta=meta,
     )
     if stats:
         t, prim, u, v, st = out

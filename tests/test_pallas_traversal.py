@@ -210,6 +210,70 @@ def test_pallas_steady_drain_matches():
     np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
 
 
+def test_pallas_row_cursor_matches():
+    """The row-cursor kernel (8 per-sublane cursors, single-word mask
+    stack/queue entries decoded via ffs + popcount against wnode_meta) is
+    exact vs the XLA packet walk — closest and any-hit, both expand
+    widths, degenerate lanes and per-ray t_max. Tiny soup: interpret mode
+    replays the unrolled body per iteration."""
+    b = _soup_bvh(n=24, seed=31)
+    assert b.wnode_meta is not None
+    o, d = _rays(seed=32)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    hit = np.asarray(p2) >= 0
+    for expand in (1, 2):
+        t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8,
+                                        row_expand=expand)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(t1)[hit],
+                                   np.asarray(t2)[hit], rtol=1e-6)
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, row_cursors=8)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+
+
+def test_pallas_row_cursor_degenerate_and_tmax():
+    b = _soup_bvh(n=24, seed=33)
+    o, d = _rays(seed=34)
+    d = d.at[::3].set(0.0)
+    tmax = jnp.full(o.shape[0], 2.5)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, t_max=tmax, row_cursors=8)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d, t_max=tmax)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.all(np.asarray(p1)[::3] == -1)
+
+
+def test_wnode_meta_decodes_the_wide_tree():
+    """wnode_meta invariants: decoding every node's static masks against
+    the packed refs reproduces the child pointers and leaf rows, children
+    are contiguous, and the synthetic root row expands node 0."""
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, WIDE_WIDTH as W
+
+    b = _soup_bvh(n=150, seed=35)
+    wn = np.asarray(b.wnode_packed)
+    refs = wn[:, 6 * W:7 * W].view(np.int32)
+    meta = np.asarray(b.wnode_meta)
+    assert meta.shape == (wn.shape[0] + 1, 3)
+    assert meta[-1, 0] == 0 and meta[-1, 2] == 1 << (W - 1)
+    for n in range(wn.shape[0]):
+        int_last, leaf_last, masks = meta[n]
+        st_int = int(masks) & 0xFFFF
+        st_leaf = (int(masks) >> 16) & 0xFFFF
+        for slot in range(W):
+            bit = 1 << (W - 1 - slot)
+            r = int(refs[n, slot])
+            if r == WIDE_EMPTY:
+                assert not (st_int & bit) and not (st_leaf & bit)
+            elif r >= 0:
+                assert st_int & bit
+                after = bin(st_int & (bit - 1)).count("1")
+                assert int_last - after == r
+            else:
+                assert st_leaf & bit
+                after = bin(st_leaf & (bit - 1)).count("1")
+                assert leaf_last - after == -2 - r
+
+
 @pytest.mark.slow
 def test_pallas_steady_drain_sweep_tpu():
     """Any-hit + drain sweep + DMA + queue-headroom coverage — native TPU

@@ -258,6 +258,20 @@ def main():
             return compaction.traverse_compacted(
                 bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
                 method="sort", any_hit=any_hit, dual=True, steady_drain=3)
+        if v.startswith("wrc") and "e" in v[3:]:
+            # wrc<W>e<E>: morton windowed compaction + ROW-CURSOR kernel
+            # (8 per-sublane cursors, mask-entry stacks), expand E, drain 3.
+            from rust_renderer_tpu.ops import compaction
+            wb, ex = v[3:].split("e")
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(wb),
+                method="sort", order="morton", any_hit=any_hit,
+                row_cursors=8, row_expand=int(ex), steady_drain=3)
+        if v.startswith("rc"):
+            # rc<E>: plain row-cursor kernel, no compaction
+            return traverse_packet_pallas(
+                bvh, o, d, tmin, tmax, any_hit=any_hit, row_cursors=8,
+                row_expand=int(v[2:] or 2), steady_drain=3)
         if v.startswith("wsn") and "d" in v[3:]:
             # wsn<W>d<D>: morton windowed compaction + SINGLE-expand steady
             # drain (16 boxes + D rows/iter ~= 2.8k vec ops vs dual's 3.3k).
