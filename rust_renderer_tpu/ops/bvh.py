@@ -1258,7 +1258,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     multi: int = 1, dual: bool = False,
                     compact_window: int = 0, steady_drain: int = 0,
                     drain_first: bool = False,
-                    compact_order: str = "morton"):
+                    compact_order: str = "morton",
+                    row_cursors: int = 0, row_expand: int = 2):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -1271,7 +1272,9 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                                  ordered=ordered, dma_leaf=(mode == "dma"),
                                  multi=multi, dual=dual,
                                  steady_drain=steady_drain,
-                                 drain_first=drain_first)
+                                 drain_first=drain_first,
+                                 row_cursors=row_cursors,
+                                 row_expand=row_expand)
         if compact_window > 1:
             from rust_renderer_tpu.ops.compaction import traverse_compacted
 
@@ -1285,7 +1288,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
 def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                      wide: bool = True, ordered: bool = False,
                      compact_window: int = 0, steady_drain: int = 3,
-                     compact_order: str = "morton"):
+                     compact_order: str = "morton",
+                     row_cursors: int = 8, row_expand: int = 2):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
@@ -1306,11 +1310,20 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     compact_order="morton" (default) sorts each compaction window's live
     lanes by origin Morton code — narrower per-block union walks; measured
     -10..-14% on late closest fronts, free (shares the dead-bit sort key,
-    ops/compaction.py)."""
+    ops/compaction.py).
+    row_cursors=G (default 8) selects the row-cursor kernel
+    (_make_kernel_wide_row): G independent cursors per block, each owning
+    1024/G lanes of the Morton-compacted order, so each sublane group walks
+    ITS OWN union instead of the whole block's. TPU-measured round 3
+    (tools/bench_fronts.py wrc64e2 vs prod wsm64d3, real 1024² fronts):
+    closest b1-b4 0.53-0.57x, camera front par. Falls back to steady-drain
+    automatically for trees without collapse metadata, DMA-leaf scale, or
+    >64k wide nodes. row_expand=2 (measured best vs 1) expansions/iter."""
     trav = _pick_traversal(bvh, packet, sort, wide, ordered,
                            dual=steady_drain > 0, steady_drain=steady_drain,
                            compact_window=compact_window,
-                           compact_order=compact_order)
+                           compact_order=compact_order,
+                           row_cursors=row_cursors, row_expand=row_expand)
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
         t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
@@ -1331,7 +1344,8 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
 def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  wide: bool = True, ordered: bool = False,
                  compact_window: int = 0, steady_drain: int = 3,
-                 compact_order: str = "morton", seed_rows: int = 0):
+                 compact_order: str = "morton", seed_rows: int = 0,
+                 row_cursors: int = 8, row_expand: int = 2):
     # steady_drain=3 + dual: the dual-expand steady-drain kernel
     # (_make_kernel_wide_sdd) — two 16-bit child masks fill the one
     # extracted int32, leaf rows drain LIFO D-per-iteration with no
@@ -1347,11 +1361,15 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     # (make_seed_test): already-occluded lanes get zero directions, retire
     # at the degenerate-ray guard, and windowed compaction drops them —
     # only genuinely-hard occlusion rays walk the tree. Exact.
+    # row_cursors=8: the row-cursor kernel (see make_closest_hit);
+    # TPU-measured on real NEE fronts (wrc64e2 vs wsm64d3) anyhit b1-b4
+    # 0.77-0.91x, camera front par. Auto-falls-back where unsupported.
     trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True,
                            steady_drain=steady_drain,
                            compact_window=compact_window,
                            drain_first=steady_drain > 0,
-                           compact_order=compact_order)
+                           compact_order=compact_order,
+                           row_cursors=row_cursors, row_expand=row_expand)
     seed = make_seed_test(bvh, seed_rows) if seed_rows > 0 else None
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):

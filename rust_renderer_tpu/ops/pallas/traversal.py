@@ -1227,7 +1227,7 @@ def _pc16(x):
 
 
 def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
-                          expand: int):
+                          expand: int, dma_leaf: bool = False):
     """Row-cursor traversal: EIGHT independent walk cursors per block, one
     per (1,128) sublane row of the packet.
 
@@ -1259,12 +1259,19 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
     per cursor per iteration (steady drain, no conds on the vector path).
     Reference role: the traversal scheduling of
     utopian/src/raytracing.rs:113-217, re-planned for packet SIMD.
+
+    dma_leaf: the leaf table stays in HBM and each drain slot's 8 cursor
+    rows arrive by async copy into a VMEM row buffer — all drain*8 fetches
+    START before the first wait (row indices are known up front), same
+    pipelining as _steady_drain's DMA mode. This lifts the row-cursor
+    kernel to Sponza-scale trees whose leaf table exceeds VMEM.
     """
     from rust_renderer_tpu.ops.bvh import WIDE_WIDTH as W
     assert W == 16
 
     def kernel(node_ref, leaf_ref, meta_ref, o_ref, d_ref, tlim_ref,
-               t_out, prim_out, u_out, v_out, stack_ref, queue_ref):
+               t_out, prim_out, u_out, v_out, stack_ref, queue_ref,
+               rowbuf_ref=None, dma_sem=None):
         ox = o_ref[0, 0]
         oy = o_ref[0, 1]
         oz = o_ref[0, 2]
@@ -1428,7 +1435,11 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
 
             # Expands: one (8, cols) gathered node tile per expand slot;
             # each sublane's slab operands are its own cursor's node.
+            # Slots 0-1 pack into one int32 per sublane; slots 2+ fill a
+            # SECOND packed word (int32 shifts >= 32 would silently drop
+            # hits — caught by test_pallas_row_cursor_expand3).
             packed = jnp.zeros((8, 128), jnp.int32)
+            packed_b = jnp.zeros((8, 128), jnp.int32) if expand > 2 else None
             for e in range(expand):
                 rows = jnp.concatenate(
                     [node_ref[pl.ds(exp_ptrs[e][g][0], 1)] for g in range(8)],
@@ -1436,15 +1447,24 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                 for c in range(W):
                     hit = slab_cols(rows, c, best_t, not_done)
                     # bit-reversed position, expand e in bits [16e, 16e+16)
-                    packed = packed | (
-                        hit.astype(jnp.int32) << (e * W + (W - 1 - c)))
+                    if e < 2:
+                        packed = packed | (
+                            hit.astype(jnp.int32) << (e * W + (W - 1 - c)))
+                    else:
+                        packed_b = packed_b | (
+                            hit.astype(jnp.int32)
+                            << ((e - 2) * W + (W - 1 - c)))
             for s in (1, 2, 4, 8, 16, 32, 64):
                 packed = packed | pltpu.roll(packed, s, axis=1)
+                if packed_b is not None:
+                    packed_b = packed_b | pltpu.roll(packed_b, s, axis=1)
 
             # Mask extraction: expand=2 fills int32 per sublane (8 extracts);
-            # expand=1 pairs sublanes into 4 words.
+            # expand=1 pairs sublanes into 4 words; expand=3/4 adds the
+            # second word's extracts (paired when only slot 2 is present).
             words = {}
-            if expand == 2:
+            words_b = {}
+            if expand >= 2:
                 for g in range(8):
                     words[g] = packed[g, 0]
             else:
@@ -1456,6 +1476,18 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                     w = comb[g2, 0]
                     words[g2] = w & jnp.int32(0xFFFF)
                     words[g2 + 1] = lsr(w, 16)
+            if expand == 4:
+                for g in range(8):
+                    words_b[g] = packed_b[g, 0]
+            elif expand == 3:
+                rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                hi = jnp.where(rid % 2 == 1, packed_b << 16, 0)
+                lo = jnp.where(rid % 2 == 0, packed_b, 0)
+                comb = lo | pltpu.roll(hi, 7, axis=0)
+                for g2 in range(0, 8, 2):
+                    w = comb[g2, 0]
+                    words_b[g2] = w & jnp.int32(0xFFFF)
+                    words_b[g2 + 1] = lsr(w, 16)
 
             # Pushes: ONE entry per expanded node per kind (internal mask
             # to the stack, leaf mask to the queue) — no per-child scalars.
@@ -1464,8 +1496,8 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
             for e in range(expand - 1, -1, -1):
                 for g in range(8):
                     ptr, act = exp_ptrs[e][g]
-                    w = words[g]
-                    m16 = (lsr(w, 16 * e) & jnp.int32(0xFFFF))
+                    w = words[g] if e < 2 else words_b[g]
+                    m16 = (lsr(w, 16 * (e % 2)) & jnp.int32(0xFFFF))
                     m16 = jnp.where(act, m16, 0)
                     m2 = meta_ref[ptr, 2]
                     int_hit = m16 & m2 & jnp.int32(0xFFFF)
@@ -1492,8 +1524,10 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                         qns[g] + (leaf_hit != 0).astype(jnp.int32), RC_QCAP)
 
             # Steady drain: per slot, each cursor decodes one leaf ROW off
-            # its top queue entry (empty queues test the dead row).
+            # its top queue entry (empty queues test the dead row). Pops
+            # for ALL slots run first so DMA mode can overlap every fetch.
             args = (best_t, best_prim, best_u, best_v, done)
+            slot_rows = []
             for _k in range(drain):
                 rows_idx = []
                 for g in range(8):
@@ -1514,10 +1548,29 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                     st_leaf = lsr(meta_ref[pn, 2], 16) & jnp.int32(0xFFFF)
                     row = meta_ref[pn, 1] - _pc16(st_leaf & (low - 1))
                     rows_idx.append(jnp.where(has, row, dead_row))
-                lrows = jnp.concatenate(
-                    [leaf_ref[pl.ds(rows_idx[g], 1)] for g in range(8)],
-                    axis=0)
-                args = tri_tests_cols(lrows, args)
+                slot_rows.append(rows_idx)
+            if dma_leaf:
+                dmas = []
+                for k in range(drain):
+                    for g in range(8):
+                        dma = pltpu.make_async_copy(
+                            leaf_ref.at[pl.ds(slot_rows[k][g], 1)],
+                            rowbuf_ref.at[pl.ds(k * 8 + g, 1)],
+                            dma_sem.at[k * 8 + g],
+                        )
+                        dma.start()
+                        dmas.append(dma)
+                for k in range(drain):
+                    for g in range(8):
+                        dmas[k * 8 + g].wait()
+                    args = tri_tests_cols(rowbuf_ref[pl.ds(k * 8, 8)], args)
+            else:
+                for k in range(drain):
+                    lrows = jnp.concatenate(
+                        [leaf_ref[pl.ds(slot_rows[k][g], 1)]
+                         for g in range(8)],
+                        axis=0)
+                    args = tri_tests_cols(lrows, args)
             best_t, best_prim, best_u, best_v, done = args
             return (*sps, *qns, best_t, best_prim, best_u, best_v, done)
 
@@ -2022,16 +2075,20 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         pltpu.SemaphoreType.DMA(()),
     ] if dma_leaf else []
     if wide and row_cursors > 0 and meta is not None:
+        rd = steady_drain if steady_drain > 0 else 3
         kernel = _make_kernel_wide_row(
-            leaf_size, any_hit, steady_drain if steady_drain > 0 else 3,
-            row_expand)
+            leaf_size, any_hit, rd, row_expand, dma_leaf=dma_leaf)
         in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
+        row_dma = [
+            pltpu.VMEM((rd * 8, leaf_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((rd * 8,)),
+        ] if dma_leaf else []
         grid_spec = pl.GridSpec(
             grid=(b,), in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[
                 pltpu.SMEM((8, RC_SCAP), jnp.int32),
                 pltpu.SMEM((8, RC_QCAP), jnp.int32),
-            ],
+            ] + row_dma,
         )
         return pl.pallas_call(kernel, out_shape=out_shape,
                               grid_spec=grid_spec)(
@@ -2178,10 +2235,11 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     if row_cursors:
         meta = getattr(bvh, "wnode_meta", None)
         too_big = bvh.wnode_packed.shape[0] + 1 > (1 << 16)
-        if (not wide or meta is None or dma_leaf or stats or too_big):
+        if (not wide or meta is None or stats or too_big):
             # Trees without collapse metadata (e.g. the MC dynamic tree),
-            # >64k-node trees (entries pack ptr<<16), and the DMA-leaf /
-            # stats paths fall back to the steady-drain kernel.
+            # >64k-node trees (entries pack ptr<<16), and the stats path
+            # fall back to the steady-drain kernel. dma_leaf is supported:
+            # the drain fetches rows by pipelined async copy.
             row_cursors = 0
             meta = None
         else:

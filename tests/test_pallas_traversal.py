@@ -232,6 +232,39 @@ def test_pallas_row_cursor_matches():
     np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
 
 
+def test_pallas_row_cursor_expand3():
+    """expand>=3 packs hit bits into a SECOND word (int32 shifts >= 32
+    silently drop the third expansion's hits — this caught a real bug:
+    a deep-enough tree mismatched 46/1024 rays before the second word)."""
+    b = _soup_bvh(n=300, seed=7)
+    o, d = _rays(seed=8)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    hit = np.asarray(p2) >= 0
+    for expand in (3, 4):
+        t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8,
+                                        row_expand=expand)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(t1)[hit],
+                                   np.asarray(t2)[hit], rtol=1e-6)
+
+
+def test_pallas_row_cursor_dma_leaf_matches():
+    """Row-cursor kernel with the leaf table in HBM: each drain slot's 8
+    cursor rows arrive by pipelined async copy (the Sponza-scale mode)."""
+    b = _soup_bvh(n=24, seed=41)
+    o, d = _rays(seed=42)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8, dma_leaf=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True, row_cursors=8,
+                                    dma_leaf=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
+
+
 def test_pallas_row_cursor_degenerate_and_tmax():
     b = _soup_bvh(n=24, seed=33)
     o, d = _rays(seed=34)

@@ -259,14 +259,17 @@ def main():
                 bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
                 method="sort", any_hit=any_hit, dual=True, steady_drain=3)
         if v.startswith("wrc") and "e" in v[3:]:
-            # wrc<W>e<E>: morton windowed compaction + ROW-CURSOR kernel
-            # (8 per-sublane cursors, mask-entry stacks), expand E, drain 3.
+            # wrc<W>e<E>[d<D>]: morton windowed compaction + ROW-CURSOR
+            # kernel (8 per-sublane cursors, mask-entry stacks), expand E,
+            # drain D (default 3).
             from rust_renderer_tpu.ops import compaction
-            wb, ex = v[3:].split("e")
+            wb, rest = v[3:].split("e")
+            ex, _, dr = rest.partition("d")
             return compaction.traverse_compacted(
                 bvh, o, d, tmin, tmax, window_blocks=int(wb),
                 method="sort", order="morton", any_hit=any_hit,
-                row_cursors=8, row_expand=int(ex), steady_drain=3)
+                row_cursors=8, row_expand=int(ex),
+                steady_drain=int(dr or 3))
         if v.startswith("rc"):
             # rc<E>: plain row-cursor kernel, no compaction
             return traverse_packet_pallas(
