@@ -1290,7 +1290,7 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
         iz = 1.0 / safe(dz)
         degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
 
-        n_meta = meta_ref.shape[0]
+        n_meta = meta_ref.shape[0] // 3  # flat (N*3,): SMEM pads 2D rows to 512 B
         dead_row = leaf_ref.shape[0] - 1  # all-pad row appended at launch
         lsr = jax.lax.shift_right_logical
         # Synthetic root entry: meta row n_meta-1 has int_last=0 and
@@ -1428,8 +1428,8 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                         stack_ref[g, at] = v
 
                     sps[g] = jnp.where(has & (rest == 0), sp - 1, sp)
-                    st_int = meta_ref[pn, 2] & jnp.int32(0xFFFF)
-                    child = meta_ref[pn, 0] - _pc16(st_int & (low - 1))
+                    st_int = meta_ref[3 * pn + 2] & jnp.int32(0xFFFF)
+                    child = meta_ref[3 * pn] - _pc16(st_int & (low - 1))
                     ptrs.append((jnp.where(has, child, 0), has))
                 exp_ptrs.append(ptrs)
 
@@ -1499,7 +1499,7 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                     w = words[g] if e < 2 else words_b[g]
                     m16 = (lsr(w, 16 * (e % 2)) & jnp.int32(0xFFFF))
                     m16 = jnp.where(act, m16, 0)
-                    m2 = meta_ref[ptr, 2]
+                    m2 = meta_ref[3 * ptr + 2]
                     int_hit = m16 & m2 & jnp.int32(0xFFFF)
                     leaf_hit = m16 & (lsr(m2, 16) & jnp.int32(0xFFFF))
                     ent_i = (ptr << 16) | int_hit
@@ -1545,8 +1545,8 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                         queue_ref[g, at] = v
 
                     qns[g] = jnp.where(has & (rest == 0), qn - 1, qn)
-                    st_leaf = lsr(meta_ref[pn, 2], 16) & jnp.int32(0xFFFF)
-                    row = meta_ref[pn, 1] - _pc16(st_leaf & (low - 1))
+                    st_leaf = lsr(meta_ref[3 * pn + 2], 16) & jnp.int32(0xFFFF)
+                    row = meta_ref[3 * pn + 1] - _pc16(st_leaf & (low - 1))
                     rows_idx.append(jnp.where(has, row, dead_row))
                 slot_rows.append(rows_idx)
             if dma_leaf:
@@ -2090,9 +2090,11 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
                 pltpu.SMEM((8, RC_QCAP), jnp.int32),
             ] + row_dma,
         )
+        # Flat (N*3,): a 2D SMEM window pads every row to 512 B, which blew
+        # the 1 MB SMEM budget at Sponza scale (7587 rows -> 3.9 MB).
         return pl.pallas_call(kernel, out_shape=out_shape,
                               grid_spec=grid_spec)(
-            node_packed, leaf_packed, meta, o, d, tlim)
+            node_packed, leaf_packed, meta.reshape(-1), o, d, tlim)
     if wide and nb > 1:
         kernel = _make_kernel_wide_multi(leaf_size, any_hit, nb,
                                          dma_leaf=dma_leaf)
@@ -2244,11 +2246,16 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
             meta = None
         else:
             # One all-dead row (tri ids -1) for empty-queue drain slots.
-            dead = jnp.zeros((1, leaf_table.shape[1]), jnp.float32)
-            neg1 = jax.lax.bitcast_convert_type(
-                jnp.full((ls,), -1, jnp.int32), jnp.float32)
-            dead = dead.at[0, 9 * ls:9 * ls + ls].set(neg1)
-            leaf_table = jnp.concatenate([leaf_table, dead], axis=0)
+            # The concat runs in INT32 space: tri ids are int32 bit
+            # patterns stored in f32 columns — denormals — and an f32
+            # concatenate fusion FLUSHES them to zero on TPU (measured:
+            # 346k -> 86k nonzero ids on the Sponza-scale table; every
+            # hit then returned prim=0 while t stayed exact).
+            lt_i = jax.lax.bitcast_convert_type(leaf_table, jnp.int32)
+            dead_i = jnp.zeros((1, leaf_table.shape[1]), jnp.int32)
+            dead_i = dead_i.at[0, 9 * ls:9 * ls + ls].set(-1)
+            leaf_table = jax.lax.bitcast_convert_type(
+                jnp.concatenate([lt_i, dead_i], axis=0), jnp.float32)
     out = _run(
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
         stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,

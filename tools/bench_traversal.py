@@ -71,6 +71,11 @@ def main():
         "anyhit": dict(wide=True, multi=1, any_hit=True),
         "anyhit_multi4": dict(wide=True, multi=4, any_hit=True),
         "anyhit_multi8": dict(wide=True, multi=8, any_hit=True),
+        # Production defaults (bvh.make_closest_hit / make_any_hit).
+        "rowcursor": dict(wide=True, multi=1, steady_drain=3,
+                          row_cursors=8, row_expand=2),
+        "rowcursor_any": dict(wide=True, multi=1, any_hit=True,
+                              steady_drain=3, row_cursors=8, row_expand=2),
     }
     if args.variants:
         variants = {k: variants[k] for k in args.variants.split(",")}
