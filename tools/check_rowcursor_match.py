@@ -44,30 +44,36 @@ def main():
         "rowcursor": dict(wide=True, multi=1, steady_drain=3, dma_leaf=True,
                           row_cursors=8, row_expand=2),
     }
-    outs = {}
-    for name, kw in variants.items():
-        f = jax.jit(lambda o, d, kw=kw: traverse_packet_pallas(bvh, o, d, **kw))
-        t, prim, u, v = jax.block_until_ready(f(o, dd))
-        outs[name] = (np.asarray(t), np.asarray(prim))
-        print(f"{name}: hits={np.sum(outs[name][1] >= 0)}", flush=True)
-
-    t0, p0 = outs["binary"]
     ok = True
-    for name in ("sdd", "rowcursor"):
-        t, p = outs[name]
-        t_mis = int(np.sum(t != t0))
-        p_mis = int(np.sum(p != p0))
-        # prim may differ only where two triangles share the exact hit t
-        p_bad = int(np.sum((p != p0) & (t == t0) & (p0 >= 0)
-                           & ~np.isin(p, p0[p != p0])))
-        print(f"{name}: t mismatches={t_mis}/{t.size} prim mismatches={p_mis}",
-              flush=True)
-        if t_mis:
-            idx = np.argwhere(t != t0)[:5]
-            for i, j in idx:
-                print(f"  [{i},{j}] t {t0[i, j]:.6f} vs {t[i, j]:.6f} "
-                      f"prim {p0[i, j]} vs {p[i, j]}")
-            ok = False
+    for front_name, dirs in (("primary", d), ("divergent", dd)):
+        outs = {}
+        for name, kw in variants.items():
+            f = jax.jit(
+                lambda o, d, kw=kw: traverse_packet_pallas(bvh, o, d, **kw))
+            t, prim, u, v = jax.block_until_ready(f(o, dirs))
+            outs[name] = (np.asarray(t), np.asarray(prim))
+            print(f"{front_name}/{name}: hits={np.sum(outs[name][1] >= 0)}",
+                  flush=True)
+
+        t0, p0 = outs["binary"]
+        for name in ("sdd", "rowcursor"):
+            t, p = outs[name]
+            t_mis = int(np.sum(t != t0))
+            p_mis = int(np.sum(p != p0))
+            print(f"{front_name}/{name}: t mismatches={t_mis}/{t.size} "
+                  f"prim mismatches={p_mis}", flush=True)
+            if t_mis:
+                idx = np.argwhere(t != t0)[:5]
+                for i, j in idx:
+                    print(f"  [{i},{j}] t {t0[i, j]:.6f} vs {t[i, j]:.6f} "
+                          f"prim {p0[i, j]} vs {p[i, j]}")
+                ok = False
+            elif p_mis:
+                # same t, different prim: only legal where triangles tie
+                idx = np.argwhere(p != p0)[:5]
+                for i, j in idx:
+                    print(f"  tie [{i},{j}] t={t0[i, j]:.6f} "
+                          f"prim {p0[i, j]} vs {p[i, j]}")
     print("OK" if ok else "T-MISMATCH")
     return 0 if ok else 1
 
