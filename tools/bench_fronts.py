@@ -173,7 +173,7 @@ def main():
     # 16-block windowed compaction (the full round-3 production composition
     # on a fatter-leaf tree).
     def _leaf_n(v):
-        for p in ("wlsd", "lsd", "leaf"):
+        for p in ("wlsd", "wlrc", "lsd", "leaf"):
             if v.startswith(p):
                 return int(v[len(p):])
         return None
@@ -344,6 +344,16 @@ def main():
             return traverse_packet_pallas(bvh, o, d, tmin, tmax,
                                           any_hit=any_hit,
                                           mask_via_vmem=True)
+        if v.startswith("wlrc"):
+            # leafN tree + morton win64 compaction + row-cursor e2 d3 — the
+            # round-3 production composition with a fatter leaf row (leaf24
+            # won closest under sdd but wrecked any-hit; row-cursor changed
+            # the drain economics, so re-measure)
+            from rust_renderer_tpu.ops import compaction
+            return compaction.traverse_compacted(
+                alt_trees[int(v[4:])], o, d, tmin, tmax, window_blocks=64,
+                method="sort", order="morton", any_hit=any_hit,
+                row_cursors=8, row_expand=2, steady_drain=3)
         if v.startswith("wlsd"):
             # leafN tree + sdd3 + 16-block windowed compaction — the full
             # production composition with a fatter leaf row
