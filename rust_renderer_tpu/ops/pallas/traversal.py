@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1227,7 +1228,8 @@ def _pc16(x):
 
 
 def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
-                          expand: int, dma_leaf: bool = False):
+                          expand: int, dma_leaf: bool = False,
+                          overflow_stats: bool = False):
     """Row-cursor traversal: EIGHT independent walk cursors per block, one
     per (1,128) sublane row of the packet.
 
@@ -1270,8 +1272,12 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
     assert W == 16
 
     def kernel(node_ref, leaf_ref, meta_ref, o_ref, d_ref, tlim_ref,
-               t_out, prim_out, u_out, v_out, stack_ref, queue_ref,
-               rowbuf_ref=None, dma_sem=None):
+               t_out, prim_out, u_out, v_out, *rest):
+        if overflow_stats:
+            ovf_out, rest = rest[0], rest[1:]
+        stack_ref, queue_ref = rest[0], rest[1]
+        rowbuf_ref = rest[2] if dma_leaf else None
+        dma_sem = rest[3] if dma_leaf else None
         ox = o_ref[0, 0]
         oy = o_ref[0, 1]
         oz = o_ref[0, 2]
@@ -1295,7 +1301,11 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
         lsr = jax.lax.shift_right_logical
         # Synthetic root entry: meta row n_meta-1 has int_last=0 and
         # static_int_rev = 1<<15, so popping bit 15 expands wide node 0.
-        root_entry = jnp.int32(((n_meta - 1) << 16) | (1 << (W - 1)))
+        # Built via uint32 wrap: for n_meta-1 >= 2^15 the Python-int value
+        # exceeds int32 range and jnp.int32(...) would raise at trace time.
+        # Kernel-side decode uses lsr(ent, 16), so the sign bit is benign.
+        root_entry = jnp.int32(np.uint32(
+            ((n_meta - 1) << 16) | (1 << (W - 1))).astype(np.int32))
         for g in range(8):
             stack_ref[g, 0] = root_entry
             queue_ref[g, 0] = jnp.int32(0)
@@ -1405,6 +1415,8 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
             sps = list(state[0:8])
             qns = list(state[8:16])
             best_t, best_prim, best_u, best_v, done = state[16:21]
+            so_cnt = state[21] if overflow_stats else None
+            qo_cnt = state[22] if overflow_stats else None
             not_done = done == 0
 
             # Pops: per expand slot, each cursor decodes one bit off its
@@ -1512,7 +1524,16 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                     # Overflow clamps (overwrites the top entry) rather than
                     # running off the buffer — same degradation class as the
                     # sdd queue; capacities are sized far above measured
-                    # peaks (stack <= wide_depth+1 entries by construction).
+                    # peaks (stack <= wide_depth+1 entries by construction;
+                    # the launch site falls back to steady-drain when the
+                    # static bound exceeds RC_SCAP). overflow_stats=True
+                    # (opt-in: it adds scalar ops to a scalar-bound loop)
+                    # counts clamped pushes so a capacity breach surfaces
+                    # as a diagnostic instead of quiet image corruption.
+                    if overflow_stats:
+                        so_cnt = so_cnt + (
+                            (int_hit != 0) & (sps[g] >= RC_SCAP)
+                        ).astype(jnp.int32)
                     sps[g] = jnp.minimum(
                         sps[g] + (int_hit != 0).astype(jnp.int32), RC_SCAP)
 
@@ -1520,6 +1541,10 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                     def _(g=g, at=jnp.minimum(qns[g], RC_QCAP - 1), v=ent_l):
                         queue_ref[g, at] = v
 
+                    if overflow_stats:
+                        qo_cnt = qo_cnt + (
+                            (leaf_hit != 0) & (qns[g] >= RC_QCAP)
+                        ).astype(jnp.int32)
                     qns[g] = jnp.minimum(
                         qns[g] + (leaf_hit != 0).astype(jnp.int32), RC_QCAP)
 
@@ -1572,7 +1597,9 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                         axis=0)
                     args = tri_tests_cols(lrows, args)
             best_t, best_prim, best_u, best_v, done = args
-            return (*sps, *qns, best_t, best_prim, best_u, best_v, done)
+            tail = (so_cnt, qo_cnt) if overflow_stats else ()
+            return (*sps, *qns, best_t, best_prim, best_u, best_v, done,
+                    *tail)
 
         init = tuple(jnp.int32(1) for _ in range(8)) + tuple(
             jnp.int32(0) for _ in range(8)) + (
@@ -1582,12 +1609,20 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
             jnp.zeros((8, 128), jnp.float32),
             degenerate,
         )
+        if overflow_stats:
+            init = init + (jnp.int32(0), jnp.int32(0))
         out = jax.lax.while_loop(cond, body, init)
         best_t, best_prim, best_u, best_v = out[16:20]
         t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
         prim_out[0] = best_prim
         u_out[0] = best_u
         v_out[0] = best_v
+        if overflow_stats:
+            # Row 0 = clamped stack pushes, row 1 = clamped queue pushes
+            # (block totals, broadcast across lanes).
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            ovf_out[0] = jnp.where(
+                rid == 0, out[21], jnp.where(rid == 1, out[22], 0))
 
     return kernel
 
@@ -2034,13 +2069,14 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
         "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
         "steady_drain", "drain_first", "row_cursors", "row_expand",
+        "overflow_stats",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
          dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False,
          steady_drain=0, drain_first=False, row_cursors=0, row_expand=2,
-         meta=None):
+         meta=None, overflow_stats=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -2051,7 +2087,11 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
     ]
     if stats:  # per-block (iterations, leaf pops) — perf diagnostics
         out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.int32))
-    nb = multi if (wide and not ordered and not stats) else 1
+    # The row-cursor kernel launches grid=(b,) with its own spec layout;
+    # multi-block co-residency does not compose with it (the multi-sized
+    # BlockSpecs would index rows i*nb..i*nb+nb over a b-step grid).
+    row_path = wide and row_cursors > 0 and meta is not None
+    nb = multi if (wide and not ordered and not stats and not row_path) else 1
     assert b % nb == 0, f"ray blocks {b} not divisible by multi={nb}"
     in_block = lambda n: pl.BlockSpec(
         (nb, n, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -2074,10 +2114,15 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
         pltpu.VMEM((1, leaf_cols), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ] if dma_leaf else []
-    if wide and row_cursors > 0 and meta is not None:
+    if row_path:
+        assert not stats, "row-cursor kernel has no stats path"
         rd = steady_drain if steady_drain > 0 else 3
         kernel = _make_kernel_wide_row(
-            leaf_size, any_hit, rd, row_expand, dma_leaf=dma_leaf)
+            leaf_size, any_hit, rd, row_expand, dma_leaf=dma_leaf,
+            overflow_stats=overflow_stats)
+        if overflow_stats:
+            out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.int32))
+            out_specs = out_specs + [out_block]
         in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
         row_dma = [
             pltpu.VMEM((rd * 8, leaf_cols), jnp.float32),
@@ -2156,7 +2201,8 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            dual: bool = False, stats: bool = False,
                            leaf_queue: int = 0, mask_via_vmem: bool = False,
                            steady_drain: int = 0, drain_first: bool = False,
-                           row_cursors: int = 0, row_expand: int = 2):
+                           row_cursors: int = 0, row_expand: int = 2,
+                           overflow_stats: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -2237,7 +2283,11 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
     if row_cursors:
         meta = getattr(bvh, "wnode_meta", None)
         too_big = bvh.wnode_packed.shape[0] + 1 > (1 << 16)
-        if (not wide or meta is None or stats or too_big):
+        # Conservative static bound on per-cursor stack need: each expand
+        # slot can push one mask entry per wide-tree level. A tree deep
+        # enough to breach RC_SCAP falls back rather than silently clamp.
+        too_deep = row_expand * (int(bvh.wide_depth) + 1) + 2 > RC_SCAP
+        if (not wide or meta is None or stats or too_big or too_deep):
             # Trees without collapse metadata (e.g. the MC dynamic tree),
             # >64k-node trees (entries pack ptr<<16), and the stats path
             # fall back to the steady-drain kernel. dma_leaf is supported:
@@ -2256,6 +2306,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
             dead_i = dead_i.at[0, 9 * ls:9 * ls + ls].set(-1)
             leaf_table = jax.lax.bitcast_convert_type(
                 jnp.concatenate([lt_i, dead_i], axis=0), jnp.float32)
+    row_active = bool(row_cursors) and meta is not None
     out = _run(
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
         stack_size=stack_size, wide=wide, multi=nb, dma_leaf=dma_leaf,
@@ -2263,10 +2314,21 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         mask_via_vmem=mask_via_vmem, steady_drain=steady_drain,
         drain_first=drain_first, row_cursors=row_cursors,
         row_expand=row_expand, meta=meta,
+        overflow_stats=overflow_stats and row_active,
     )
     if stats:
         t, prim, u, v, st = out
         # per-block diagnostics: row 0 = pops, row 1 = leaf pops
         return unpack(t), unpack(prim), unpack(u), unpack(v), st
+    if overflow_stats:
+        # 5th value: (B, 8, 128) int32 — per block, row 0 lane 0 = clamped
+        # stack pushes, row 1 lane 0 = clamped queue pushes; None when the
+        # launch fell back to a non-row kernel (which has no fixed
+        # per-cursor capacities to breach).
+        if row_active:
+            t, prim, u, v, ovf = out
+            return unpack(t), unpack(prim), unpack(u), unpack(v), ovf
+        t, prim, u, v = out
+        return unpack(t), unpack(prim), unpack(u), unpack(v), None
     t, prim, u, v = out
     return unpack(t), unpack(prim), unpack(u), unpack(v)

@@ -260,6 +260,27 @@ def _view_spec():
     return _VIEW_SPEC
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedView:
+    """Explicit tag for a packed RenderSettings buffer.
+
+    unpack_view used to duck-type on shape==(total,) f32, which would
+    silently reinterpret any coincidentally-shaped plain array handed to
+    Graph.render as a RenderSettings (ADVICE r3). The tag makes the packed
+    form unambiguous while staying a one-leaf pytree (still ONE
+    host->device transfer per frame)."""
+
+    def __init__(self, buf):
+        self.buf = buf
+
+    def tree_flatten(self):
+        return (self.buf,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
 def pack_view(v):
     """Fold a RenderSettings into one flat float32 buffer (host side).
     Non-RenderSettings views (tests hand the graph plain dicts) pass
@@ -271,17 +292,17 @@ def pack_view(v):
     for name, shape, dtype, off, n in spec:
         a = np.asarray(getattr(v, name), dtype).reshape(-1)
         buf[off:off + n] = a.view(np.float32)
-    return buf
+    return PackedView(buf)
 
 
 def unpack_view(buf):
     """Traced inverse of pack_view: static slices + bitcasts, no data motion
     on device (XLA folds them into the consumers). Anything that is not a
-    packed view buffer (see pack_view) passes through unchanged."""
+    PackedView passes through unchanged."""
     spec, total = _view_spec()
-    if not (hasattr(buf, "shape") and tuple(getattr(buf, "shape", ())) ==
-            (total,) and getattr(buf, "dtype", None) == np.float32):
+    if not isinstance(buf, PackedView):
         return buf
+    buf = buf.buf
     kw = {}
     for name, shape, dtype, off, n in spec:
         sl = buf[off:off + n]

@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rust_renderer_tpu.settings import RenderSettings, pack_view, unpack_view
+from rust_renderer_tpu.settings import (
+    PackedView, RenderSettings, pack_view, unpack_view)
 
 
 def test_pack_unpack_roundtrip_bit_exact():
@@ -21,7 +22,8 @@ def test_pack_unpack_roundtrip_bit_exact():
         sky_enabled=np.int32(0),
     )
     buf = pack_view(v)
-    assert buf.dtype == np.float32 and buf.ndim == 1
+    assert isinstance(buf, PackedView)
+    assert buf.buf.dtype == np.float32 and buf.buf.ndim == 1
     out = jax.jit(unpack_view)(buf)
     for f in dataclasses.fields(RenderSettings):
         a = np.asarray(getattr(v, f.name))
@@ -39,6 +41,17 @@ def test_pack_view_passthrough_for_plain_views():
     d = {"x": np.float32(1.0)}
     assert pack_view(d) is d
     a = jnp.zeros((4,), jnp.float32)
+    assert unpack_view(a) is a
+
+
+def test_unpack_view_no_shape_duck_typing():
+    # ADVICE r3: a plain 1-D f32 array whose length coincides with the
+    # packed-view total must pass through untouched, not be reinterpreted
+    # as a RenderSettings.
+    from rust_renderer_tpu.settings import _view_spec
+
+    total = _view_spec()[1]
+    a = jnp.zeros((total,), jnp.float32)
     assert unpack_view(a) is a
 
 

@@ -265,6 +265,66 @@ def test_pallas_row_cursor_dma_leaf_matches():
     np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
 
 
+def test_pallas_row_cursor_with_multi_is_correct():
+    """ADVICE r3: row_cursors composed with multi>1 used to build
+    multi-sized BlockSpecs over a b-step grid (out-of-range blocks /
+    wrong results). multi is now forced off on the row path."""
+    b = _soup_bvh(n=24, seed=51)
+    o, d = _rays(n=4096, seed=52)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8, multi=4)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+
+
+def test_pallas_row_cursor_overflow_stats():
+    """ADVICE r3: the RC_SCAP/RC_QCAP overflow clamps must be observable.
+    overflow_stats=True returns a 5th per-block diagnostic (row 0 =
+    clamped stack pushes, row 1 = clamped queue pushes): zero on a
+    normal scene with untouched results; nonzero when the queue capacity
+    is artificially strangled."""
+    from rust_renderer_tpu.ops.pallas import traversal as ptrav
+
+    b = _soup_bvh(n=60, seed=61)
+    o, d = _rays(seed=62)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    t1, p1, _, _, ovf = _pallas_traverse(b, o, d, row_cursors=8,
+                                         overflow_stats=True)
+    assert ovf is not None and int(np.asarray(ovf).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    # Strangle the queue: every multi-leaf-row mask entry now clamps.
+    orig_qcap = ptrav.RC_QCAP
+    ptrav._run.clear_cache()
+    try:
+        ptrav.RC_QCAP = 1
+        _, _, _, _, ovf2 = _pallas_traverse(b, o, d, row_cursors=8,
+                                            overflow_stats=True)
+        assert int(np.asarray(ovf2).sum()) > 0
+    finally:
+        ptrav.RC_QCAP = orig_qcap
+        ptrav._run.clear_cache()
+
+
+def test_pallas_row_cursor_deep_tree_falls_back():
+    """Trees whose static stack bound exceeds RC_SCAP fall back to the
+    steady-drain kernel (still exact) instead of silently clamping."""
+    from rust_renderer_tpu.ops.pallas import traversal as ptrav
+
+    b = _soup_bvh(n=24, seed=63)
+    o, d = _rays(seed=64)
+    orig = ptrav.RC_SCAP
+    try:
+        ptrav.RC_SCAP = 1  # forces too_deep for any real tree
+        t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8)
+    finally:
+        ptrav.RC_SCAP = orig
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_pallas_row_cursor_degenerate_and_tmax():
     b = _soup_bvh(n=24, seed=33)
     o, d = _rays(seed=34)
