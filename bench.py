@@ -53,18 +53,23 @@ def run_workload(metric: str, scene_fn, width: int, height: int,
         # extracted, BVH-refit, and traced in the PT scene every frame.
         app.view = app.view.replace(marching_cubes_enabled=np.uint32(1))
 
-    # Warmup: frame 1 includes env capture + compile; frame 2 the steady graph.
+    # Warmup: frame 1 includes env capture + compile; frame 2 the steady
+    # graph; then one n-frame loop program compile (the timed workload).
     t_compile0 = time.perf_counter()
     app.run(num_frames=2)
+    n_frames = 16 if width <= 512 else 4
+    jax.block_until_ready(app.run_on_device(n_frames))
     compile_s = time.perf_counter() - t_compile0
 
-    n_frames = 5 if width <= 512 else 4
+    # Timed: the steady-state device loop (Graph.render_loop) — n_frames
+    # full frames in ONE dispatch, persistent buffers donated. This is the
+    # swapchain analog: the reference never blocks on a readback inside its
+    # frame loop (vulkan_base.rs:389-424), and neither does this; the one
+    # remote-launch latency (~7-12 ms over the axon tunnel) is amortized
+    # across the batch instead of taxing EVERY frame (VERDICT r3 #2).
     t0 = time.perf_counter()
-    # present_every=0: don't block on a host readback inside the loop (the
-    # frames-in-flight analog; the reference presents via swapchain, not a
-    # device->host copy). The device is drained before the clock stops.
-    app.run(num_frames=n_frames, present_every=0)
-    jax.block_until_ready(app.graph.state["accumulation_image"])
+    img = app.run_on_device(n_frames)
+    jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / n_frames
 
     fps = 1.0 / dt
@@ -117,15 +122,16 @@ def run_raster_workload(metric: str, scene_fn, width: int, height: int) -> dict:
 
     t_compile0 = time.perf_counter()
     app.run(num_frames=2)
+    n_frames = 16 if width <= 512 else 4
+    jax.block_until_ready(app.run_on_device(n_frames))
     compile_s = time.perf_counter() - t_compile0
 
-    n_frames = 5 if width <= 512 else 4
+    # Timed device loop (see run_workload). RASTERIZED frames carry no
+    # cross-frame state; render_loop's carried checksum keeps every scanned
+    # iteration live (XLA cannot elide frames).
     t0 = time.perf_counter()
-    app.run(num_frames=n_frames, present_every=0)
-    for v in app.graph.state.values():
-        jax.block_until_ready(v)
-    np.asarray(app.graph.state["accumulation_image"].ravel()[0]) \
-        if "accumulation_image" in app.graph.state else None
+    img = app.run_on_device(n_frames)
+    jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / n_frames
 
     fps = 1.0 / dt

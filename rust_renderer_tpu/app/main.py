@@ -39,6 +39,23 @@ from rust_renderer_tpu.utils.profiler import PROFILER
 from rust_renderer_tpu.utils.watcher import DirectoryWatcher
 
 
+def _loop_view_update(view, k, aux):
+    """Traced per-frame view evolution for Graph.render_loop (frame k of the
+    scan): advances the progressive-accumulation counter and clock, and hands
+    frames k>0 the CURRENT projection*view as their prev-frame matrices —
+    the camera is static inside a device loop, so this matches the host
+    loop's one-frame-delayed handoff exactly (main.rs:545-546 semantics)."""
+    import jax.numpy as jnp
+
+    pv = (view.projection @ view.view).astype(jnp.float32)
+    prev = jnp.where(k == 0, view.prev_frame_projection_view, pv)
+    return view.replace(
+        total_samples=view.total_samples + k.astype(jnp.uint32) * aux["spf"],
+        time=view.time + k.astype(jnp.float32) * aux["tstep"],
+        prev_frame_projection_view=prev,
+    )
+
+
 class Application:
     def __init__(
         self,
@@ -144,6 +161,53 @@ class Application:
             np.asarray(self.view.projection) @ np.asarray(self.view.view)
         ).astype(np.float32)
 
+    def _ensure_environment(self) -> None:
+        mode = self.render_graph_mode
+        needs_env = mode == RenderGraphMode.RASTERIZED or (
+            mode == RenderGraphMode.PATH_TRACED and self.cfg.sky_mode == "cubemap"
+        )
+        if needs_env and self.renderer.need_environment_map_update:
+            # Environment pipeline as separate setup jits (small compiles),
+            # seeded into the graph's persistent resources — the analog of
+            # the reference's lazily-updated env maps (ibl.rs:63-66).
+            from rust_renderer_tpu.ops.ibl import compute_environment
+
+            with PROFILER.scope("environment_update"):
+                self.graph.state.update(
+                    compute_environment(self.cfg, self.sun_dir)
+                )
+            self.renderer.need_environment_map_update = False
+
+    def _build_graph(self) -> None:
+        mode = self.render_graph_mode
+        with PROFILER.scope("build_graph"):
+            self.graph.new_frame()
+            self.graph.clear()
+            if mode == RenderGraphMode.PATH_TRACED:
+                build_path_tracing_render_graph(
+                    self.graph, self.cfg, self.camera, self.scene_bvh,
+                    self.sun_dir,
+                    marching_cubes_enabled=bool(
+                        int(self.view.marching_cubes_enabled)
+                    ),
+                    mc_material=self.renderer.ensure_mc_material(),
+                    num_lights=self.renderer.get_num_lights(),
+                )
+            elif mode == RenderGraphMode.RASTERIZED:
+                build_render_graph(
+                    self.graph, self.cfg, self.camera, self.scene_bvh,
+                    self.sun_dir,
+                    shadows_enabled=bool(int(self.view.shadows_enabled)),
+                    marching_cubes_enabled=bool(int(self.view.marching_cubes_enabled)),
+                    raytracing_supported=bool(int(self.view.raytracing_supported)),
+                )
+            elif mode == RenderGraphMode.MINIMAL:
+                build_minimal_forward_render_graph(
+                    self.graph, self.cfg, self.camera, self.scene_bvh, self.sun_dir
+                )
+            else:
+                build_hybrid_render_graph(self.graph)
+
     def render_frame(self):
         """One full frame; returns the resource dict."""
         PROFILER.new_frame()
@@ -158,50 +222,8 @@ class Application:
                 self.reset_accumulation()
 
             self._refresh_view()
-
-            mode = self.render_graph_mode
-            needs_env = mode == RenderGraphMode.RASTERIZED or (
-                mode == RenderGraphMode.PATH_TRACED and self.cfg.sky_mode == "cubemap"
-            )
-            if needs_env and self.renderer.need_environment_map_update:
-                # Environment pipeline as separate setup jits (small compiles),
-                # seeded into the graph's persistent resources — the analog of
-                # the reference's lazily-updated env maps (ibl.rs:63-66).
-                from rust_renderer_tpu.ops.ibl import compute_environment
-
-                with PROFILER.scope("environment_update"):
-                    self.graph.state.update(
-                        compute_environment(self.cfg, self.sun_dir)
-                    )
-                self.renderer.need_environment_map_update = False
-
-            with PROFILER.scope("build_graph"):
-                self.graph.new_frame()
-                self.graph.clear()
-                if mode == RenderGraphMode.PATH_TRACED:
-                    build_path_tracing_render_graph(
-                        self.graph, self.cfg, self.camera, self.scene_bvh,
-                        self.sun_dir,
-                        marching_cubes_enabled=bool(
-                            int(self.view.marching_cubes_enabled)
-                        ),
-                        mc_material=self.renderer.ensure_mc_material(),
-                        num_lights=self.renderer.get_num_lights(),
-                    )
-                elif mode == RenderGraphMode.RASTERIZED:
-                    build_render_graph(
-                        self.graph, self.cfg, self.camera, self.scene_bvh,
-                        self.sun_dir,
-                        shadows_enabled=bool(int(self.view.shadows_enabled)),
-                        marching_cubes_enabled=bool(int(self.view.marching_cubes_enabled)),
-                        raytracing_supported=bool(int(self.view.raytracing_supported)),
-                    )
-                elif mode == RenderGraphMode.MINIMAL:
-                    build_minimal_forward_render_graph(
-                        self.graph, self.cfg, self.camera, self.scene_bvh, self.sun_dir
-                    )
-                else:
-                    build_hybrid_render_graph(self.graph)
+            self._ensure_environment()
+            self._build_graph()
 
             with PROFILER.scope("render"):
                 resources = self.graph.render(self.scene, self.view)
@@ -212,6 +234,41 @@ class Application:
             )
         self.fps_timer.calculate()
         return resources
+
+    def run_on_device(self, num_frames: int = 1, tstep: float = 1.0 / 60.0):
+        """Render `num_frames` frames in ONE device dispatch (the swapchain
+        steady-state analog — see Graph.render_loop).
+
+        Per-frame view evolution (accumulation counter, clock, prev-frame
+        matrices for ReSTIR temporal reuse) happens on-device via
+        `_loop_view_update`; the host-side counters are advanced to match so
+        interleaving run() and run_on_device() stays consistent. Returns the
+        last frame's present_output (device array; caller np.asarray()s to
+        present)."""
+        assert num_frames >= 1
+        PROFILER.new_frame()
+        with PROFILER.scope("frame_loop"):
+            self._refresh_view()
+            self._ensure_environment()
+            self._build_graph()
+            aux = {
+                "spf": np.uint32(self.cfg.samples_per_frame),
+                "tstep": np.float32(tstep),
+            }
+            with PROFILER.scope("render_loop"):
+                img = self.graph.render_loop(
+                    self.scene, self.view, num_frames,
+                    view_update=_loop_view_update, aux=aux,
+                )
+            # Frames 2..N advanced the accumulation protocol on-device;
+            # mirror them host-side (frame 1 was counted by _refresh_view).
+            self.total_samples += self.cfg.samples_per_frame * (num_frames - 1)
+            self.view = self.view.replace(
+                total_samples=np.uint32(self.total_samples),
+                prev_frame_projection_view=self._pending_prev_pv,
+            )
+        self.fps_timer.calculate()
+        return img
 
     def run(self, num_frames: int = 1, on_frame=None, save_to: str | None = None,
             present_every: int = 1):

@@ -279,7 +279,11 @@ def build_path_tracing_render_graph(
                 out.update(_write_reservoir(name, empty))
             return out
 
-        graph.add_pass("reset_reservoirs").render(reset).build()
+        rb = graph.add_pass("reset_reservoirs")
+        for name in ("initial_ris_reservoirs", "temporal_reuse_reservoirs"):
+            for f in _RES_FIELDS:
+                rb.write(f"{name}_{f}")
+        rb.render(reset).build()
 
         # p_hat of each pass's selected sample rides along to the next pass
         # so no pass re-selects light rows for a reservoir it was just handed
@@ -301,13 +305,14 @@ def build_path_tracing_render_graph(
             out["initial_ris_p_hat"] = p_hat
             return out
 
-        (
+        pb = (
             graph.add_pass("initial_ris")
             .read("gbuffer_position")
             .write("initial_ris_p_hat")
-            .render(initial_ris)
-            .build()
         )
+        for f in _RES_FIELDS:
+            pb.write(f"initial_ris_reservoirs_{f}")
+        pb.render(initial_ris).build()
 
         # 4. temporal reuse (restir/temporal_reuse.rgen).
         def temporal(res, scene, view, u):
@@ -324,13 +329,14 @@ def build_path_tracing_render_graph(
             writes["temporal_reuse_p_hat"] = p_hat
             return writes
 
-        (
+        pb = (
             graph.add_pass("temporal_reuse")
             .read("gbuffer_position").read("initial_ris_p_hat")
             .write("temporal_reuse_p_hat")
-            .render(temporal)
-            .build()
         )
+        for f in _RES_FIELDS:
+            pb.write(f"temporal_reuse_reservoirs_{f}")
+        pb.render(temporal).build()
 
         # 5. spatial reuse (restir/spatial_reuse.rgen).
         def spatial(res, scene, view, u):
@@ -344,12 +350,13 @@ def build_path_tracing_render_graph(
             )
             return _write_reservoir("spatial_reuse_reservoirs", out)
 
-        (
+        pb = (
             graph.add_pass("spatial_reuse")
             .read("gbuffer_position").read("temporal_reuse_p_hat")
-            .render(spatial)
-            .build()
         )
+        for f in _RES_FIELDS:
+            pb.write(f"spatial_reuse_reservoirs_{f}")
+        pb.render(spatial).build()
 
     # 6. reference PT with reservoir NEE (mod.rs:345-358, reference.rgen).
     closest = bvh_ops.make_closest_hit(scene_bvh,
