@@ -182,74 +182,132 @@ def _wait_for_device(budget_s: float) -> bool:
         time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
 
 
-def main() -> int:
-    from rust_renderer_tpu.models.scenes import (
-        create_cube_scene,
-        create_restir_many_lights_scene,
-        create_rtiow_scene,
-        create_scene,
-        create_sponza_scale_scene,
-        create_sponza_scene,
-    )
+def _workloads(width: int, height: int) -> dict:
+    """metric -> (workload_fn_name, scene_fn_name, args). Declarative so the
+    parent process can schedule each workload in its OWN child process: a
+    TPU-worker fault wedges the in-process runtime for good (observed: one
+    kernel fault zeroed every later line), but the tunnel recovers for the
+    next process."""
+    return {
+        # Headline (BASELINE north star): 1080p full PT frame, 1 spp.
+        "pathtrace_graph_1080p_1spp_fps": (
+            "run_workload", "create_scene", dict(width=width, height=height)),
+        "pathtrace_sponza_scale_260k_1080p_1spp_fps": (
+            "run_workload", "create_sponza_scale_scene",
+            dict(width=width, height=height)),
+        # BASELINE config 5 (VERDICT r2 #4): PT + BVH + ReSTIR + animated
+        # marching-cubes isosurface.
+        "pathtrace_mc_isosurface_1080p_1spp_fps": (
+            "run_workload", "create_scene",
+            dict(width=width, height=height, mc=True)),
+        # Config 1: RTIOW sphere scene @ 256x256 1 spp (CPU-reference RMSE
+        # parity is asserted by tests/test_pathtrace.py, not re-run here).
+        "rtiow_pathtrace_256_1spp_fps": (
+            "run_workload", "create_rtiow_scene", dict(width=256, height=256)),
+        # Config 2: raster mode, single glTF-style mesh, vertex transform +
+        # PBR shading + shadow mapping @ 512x512.
+        "raster_single_mesh_512_fps": (
+            "run_raster_workload", "create_cube_scene",
+            dict(width=512, height=512)),
+        # Config 3: full raster post stack (SSAO + FXAA + IBL + CSM +
+        # deferred PBR + RT shadows/reflections) on Sponza @ 1080p.
+        "raster_post_stack_sponza_1080p_fps": (
+            "run_raster_workload", "create_sponza_scene",
+            dict(width=width, height=height)),
+        # Config 4: ReSTIR direct lighting, Sponza with 128 analytic point
+        # lights + raytraced (NEE reservoir) shadow rays @ 1080p.
+        "restir_128_lights_sponza_1080p_fps": (
+            "run_workload", "create_restir_many_lights_scene",
+            dict(width=width, height=height)),
+    }
 
-    device_up = _wait_for_device(
-        float(os.environ.get("RR_BENCH_WAIT_S", "1800")))
+
+def _selected_metrics() -> list[str]:
+    metrics = ["pathtrace_graph_1080p_1spp_fps"]
+    if os.environ.get("RR_BENCH_SKIP_SCALE") != "1":
+        metrics.append("pathtrace_sponza_scale_260k_1080p_1spp_fps")
+    if os.environ.get("RR_BENCH_SKIP_MC") != "1":
+        metrics.append("pathtrace_mc_isosurface_1080p_1spp_fps")
+    if os.environ.get("RR_BENCH_SKIP_CONFIGS") != "1":
+        metrics += [
+            "rtiow_pathtrace_256_1spp_fps",
+            "raster_single_mesh_512_fps",
+            "raster_post_stack_sponza_1080p_fps",
+            "restir_128_lights_sponza_1080p_fps",
+        ]
+    return metrics
+
+
+def _run_one(metric: str, width: int, height: int) -> int:
+    """Child mode: execute one workload, print its JSON line."""
+    import rust_renderer_tpu.models.scenes as scenes
+
+    fn_name, scene_name, kw = _workloads(width, height)[metric]
+    workload = {"run_workload": run_workload,
+                "run_raster_workload": run_raster_workload}[fn_name]
+    try:
+        print(json.dumps(workload(metric, getattr(scenes, scene_name), **kw)),
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — report, don't crash the bench
+        print(json.dumps({
+            "metric": metric, "value": 0.0, "unit": "fps",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"{type(e).__name__}: {e}"[:300]},
+        }), flush=True)
+    return 0
+
+
+def main() -> int:
+    import subprocess
+
     small = os.environ.get("RR_BENCH_SMALL") == "1"
     width, height = (512, 512) if small else (1920, 1080)
 
-    def emit(metric, *args, workload=run_workload, **kw):
-        # A workload that faults the TPU worker must not take the earlier
-        # metric lines (or the driver's JSON parse) down with it. With the
-        # tunnel down, first device use HANGS (no error to catch) — emit
-        # parseable zero lines instead of hanging until the driver kills us.
-        if not device_up:
+    only = os.environ.get("RR_BENCH_ONLY")
+    if only:
+        if not _wait_for_device(
+                float(os.environ.get("RR_BENCH_WAIT_S", "1800"))):
             print(json.dumps({
-                "metric": metric, "value": 0.0, "unit": "fps",
+                "metric": only, "value": 0.0, "unit": "fps",
                 "vs_baseline": 0.0,
                 "detail": {"error": "tpu tunnel down (RR_BENCH_WAIT_S "
                                     "exhausted)"},
             }), flush=True)
-            return
+            return 0
+        return _run_one(only, width, height)
+
+    # Parent: one child process per workload (compile caches persist across
+    # processes, so the only repeated cost is interpreter startup).
+    budget_s = float(os.environ.get("RR_BENCH_WORKLOAD_TIMEOUT_S", "2400"))
+    for metric in _selected_metrics():
+        env = dict(os.environ, RR_BENCH_ONLY=metric)
         try:
-            print(json.dumps(workload(metric, *args, **kw)), flush=True)
-        except Exception as e:  # noqa: BLE001 — report, don't crash the bench
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=budget_s,
+            ).stdout
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(
+                getattr(e, "stdout", None), bytes) else (e.stdout or "")
+            if not out.strip():
+                out = json.dumps({
+                    "metric": metric, "value": 0.0, "unit": "fps",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"workload timeout after "
+                                        f"{budget_s:.0f}s"},
+                }) + "\n"
+        emitted = False
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                print(line, flush=True)
+                emitted = True
+        if not emitted:
             print(json.dumps({
                 "metric": metric, "value": 0.0, "unit": "fps",
                 "vs_baseline": 0.0,
-                "detail": {"error": f"{type(e).__name__}: {e}"[:300]},
+                "detail": {"error": "workload produced no JSON line"},
             }), flush=True)
-
-    # Headline (BASELINE north star): 1080p full PT frame, 1 spp.
-    emit("pathtrace_graph_1080p_1spp_fps", create_scene, width, height)
-
-    if os.environ.get("RR_BENCH_SKIP_SCALE") != "1":
-        emit("pathtrace_sponza_scale_260k_1080p_1spp_fps",
-             create_sponza_scale_scene, width, height)
-
-    if os.environ.get("RR_BENCH_SKIP_MC") != "1":
-        # BASELINE config 5 (VERDICT r2 #4): PT + BVH + ReSTIR + animated
-        # marching-cubes isosurface.
-        emit("pathtrace_mc_isosurface_1080p_1spp_fps",
-             create_scene, width, height, mc=True)
-
-    if os.environ.get("RR_BENCH_SKIP_CONFIGS") != "1":
-        # The remaining BASELINE.md evaluation configs (1-4; 5 is the MC
-        # line above and the headline covers the north star).
-        # Config 1: RTIOW sphere scene @ 256x256 1 spp (CPU-reference RMSE
-        # parity is asserted by tests/test_pathtrace.py, not re-run here).
-        emit("rtiow_pathtrace_256_1spp_fps", create_rtiow_scene, 256, 256)
-        # Config 2: raster mode, single glTF-style mesh, vertex transform +
-        # PBR shading + shadow mapping @ 512x512.
-        emit("raster_single_mesh_512_fps", create_cube_scene, 512, 512,
-             workload=run_raster_workload)
-        # Config 3: full raster post stack (SSAO + FXAA + IBL + CSM +
-        # deferred PBR + RT shadows/reflections) on Sponza @ 1080p.
-        emit("raster_post_stack_sponza_1080p_fps", create_sponza_scene,
-             width, height, workload=run_raster_workload)
-        # Config 4: ReSTIR direct lighting, Sponza with 128 analytic point
-        # lights + raytraced (NEE reservoir) shadow rays @ 1080p.
-        emit("restir_128_lights_sponza_1080p_fps",
-             create_restir_many_lights_scene, width, height)
     return 0
 
 

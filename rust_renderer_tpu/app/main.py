@@ -251,6 +251,25 @@ class Application:
             self._refresh_view()
             self._ensure_environment()
             self._build_graph()
+            if any(p.isolated for p in self.graph.passes):
+                # Isolated passes exist precisely because fusing them into
+                # one XLA program is a TPU-worker crash mode (the 164k-slot
+                # marching-cubes extract — see PassBuilder.isolate); a scan
+                # body is one program, so fall back to the host frame loop.
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "run_on_device: graph has isolated passes; "
+                    "falling back to the host frame loop")
+                # _refresh_view already advanced the counters for frame 1;
+                # render_frame will do it again, so rewind.
+                self.total_samples -= self.cfg.samples_per_frame
+                img = None
+                for _ in range(num_frames):
+                    resources = self.render_frame()
+                    img = resources.get("present_output")
+                self.fps_timer.calculate()
+                return img
             aux = {
                 "spf": np.uint32(self.cfg.samples_per_frame),
                 "tstep": np.float32(tstep),

@@ -85,6 +85,17 @@ class BVH(NamedTuple):
     # ptr = last - count_of_set_static_bits_below(popped bit). Row N is the
     # synthetic root entry's parent (int_last=0, static=1<<15).
     wnode_meta: jax.Array | None = None
+    # Quantized WIDTH-32 wide tree (the q32 row-cursor path): one int32
+    # (1,128) VMEM row per node with 16-bit conservative child boxes + f32
+    # grid header (_quantize_wide32). Built over the SAME binary tree and
+    # the SAME leaf table as the w16 collapse; its own leaf encounter order
+    # differs, so q32_leaf_perm (SMEM in the kernel) maps q32 leaf ids ->
+    # rows of leaf_packed. meta32 is (N32+1, 4) int32:
+    # [int_last, leaf_last, static_int_rev32, static_leaf_rev32].
+    wnode_q32: jax.Array | None = None
+    wnode_meta32: jax.Array | None = None
+    q32_leaf_perm: jax.Array | None = None
+    q32_depth: int = 0
 
     @property
     def num_nodes(self) -> int:
@@ -193,7 +204,8 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
         meta_rows.append((
             int_base + max(n_int - 1, 0),
             leaf_base + max(n_leaf - 1, 0),
-            int_rev | (leaf_rev << width),
+            int_rev,
+            leaf_rev,
         ))
         refs_rows.append(refs)
         box_rows.append(boxes)
@@ -208,14 +220,96 @@ def _collapse_wide(node_min, node_max, miss, node_leaf,
         axis=1,
     ).astype(np.float32)
     # Synthetic root-parent row (the row-cursor stack's initial entry points
-    # here with hitmask 1<<15): one internal "child" = wide node 0.
-    meta_rows.append((0, 0, 1 << (width - 1)))
-    meta = np.asarray(meta_rows, np.int64)
-    meta = np.stack([meta[:, 0], meta[:, 1],
-                     meta[:, 2].astype(np.uint32).view(np.int32)],
-                    axis=1).astype(np.int32)
+    # here with hitmask 1<<(width-1)): one internal "child" = wide node 0.
+    meta_rows.append((0, 0, 1 << (width - 1), 0))
+    meta64 = np.asarray(meta_rows, np.int64)
+    if width <= 16:
+        # Row-cursor w16 meta: both static child-kind masks pack into one
+        # int32 word ([int_last, leaf_last, int_rev | leaf_rev << 16]).
+        meta = np.stack(
+            [meta64[:, 0], meta64[:, 1],
+             (meta64[:, 2] | (meta64[:, 3] << width))
+             .astype(np.uint32).view(np.int32)],
+            axis=1).astype(np.int32)
+    else:
+        # Width > 16 (the quantized w32 path): masks stay separate 32-bit
+        # words — [int_last, leaf_last, int_rev32, leaf_rev32].
+        meta = np.stack(
+            [meta64[:, 0], meta64[:, 1],
+             (meta64[:, 2] & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+             (meta64[:, 3] & 0xFFFFFFFF).astype(np.uint32).view(np.int32)],
+            axis=1).astype(np.int32)
     leaf_perm = np.asarray(leaf_order, np.int64)
     return packed, int(wide_depth), meta, leaf_perm
+
+
+def _quantize_wide32(packed32: np.ndarray) -> np.ndarray:
+    """Pack a width-32 wide-node table into ONE int32 VMEM row per node
+    with 16-bit-quantized child boxes (the CWBVH idea re-sized for TPU row
+    economics: a VMEM row costs 512 B at any width, so carry 32 children
+    per fetch instead of 16).
+
+    Row layout (128 int32 lanes):
+      lanes [p*32 + c], p=0..2: child c's plane pair
+          p0 = qlo.x | qlo.y << 16, p1 = qlo.z | qhi.x << 16,
+          p2 = qhi.y | qhi.z << 16
+      lanes 96..98: node grid origin.xyz (f32 bits)
+      lanes 99..101: node grid scale.xyz (f32 bits; plane = origin + q*scale)
+      lanes 102..127: zero.
+
+    Quantization is CONSERVATIVE: the node grid is widened 2 ulp beyond the
+    children's hull and every child box gets one extra quantization step of
+    padding per side, so the dequantized box (including the kernel's
+    A=scale*inv_d / B=(origin-o)*inv_d fma algebra, <= 2 ulp of slack)
+    always CONTAINS the f32 box — traversal visits a superset of the exact
+    walk's nodes and triangle tests decide, so results are exact. Empty
+    slots need no special boxes: the static child-kind masks
+    (wnode_meta32) already drop their hit bits.
+    """
+    n, cols = packed32.shape
+    width = 32
+    assert cols == 7 * width
+    boxes = packed32[:, : 6 * width].reshape(n, 6, width)
+    refs = packed32[:, 6 * width:].view(np.int32)
+    valid = refs != WIDE_EMPTY  # (n, 32)
+
+    lo = boxes[:, 0:3, :]  # (n, 3, 32)
+    hi = boxes[:, 3:6, :]
+    big = np.float32(3e38)
+    lo_m = np.where(valid[:, None, :], lo, big)
+    hi_m = np.where(valid[:, None, :], hi, -big)
+    origin = lo_m.min(axis=2)  # (n, 3)
+    top = hi_m.max(axis=2)
+    none_valid = ~valid.any(axis=1)
+    origin[none_valid] = 0.0
+    top[none_valid] = 0.0
+    # Widen the grid 2 ulp so q=0 / q=65535 sit strictly outside the hull.
+    origin = np.nextafter(np.nextafter(origin, -np.inf, dtype=np.float32),
+                          -np.inf, dtype=np.float32)
+    top = np.nextafter(np.nextafter(top, np.inf, dtype=np.float32),
+                       np.inf, dtype=np.float32)
+    # Scale rounds UP (f64 with a +1e-6 relative bump before the f32 cast):
+    # a scale that rounds down makes origin + 65535*scale fall SHORT of the
+    # hull top, so children clipped at q=65535 would under-cover (measured
+    # ~2.5e-7 relative before the bump).
+    ext64 = top.astype(np.float64) - origin.astype(np.float64)
+    scale = ((ext64 / 65535.0) * (1.0 + 1e-6)).astype(np.float32)
+    safe = np.where(scale > 0, scale, 1.0).astype(np.float32)
+
+    qlo = np.floor((lo - origin[:, :, None]) / safe[:, :, None]) - 1.0
+    qhi = np.ceil((hi - origin[:, :, None]) / safe[:, :, None]) + 1.0
+    qlo = np.clip(qlo, 0, 65535).astype(np.uint32)
+    qhi = np.clip(qhi, 0, 65535).astype(np.uint32)
+    qlo = np.where(valid[:, None, :], qlo, 0).astype(np.uint32)
+    qhi = np.where(valid[:, None, :], qhi, 0).astype(np.uint32)
+
+    row = np.zeros((n, 128), np.uint32)
+    row[:, 0:32] = qlo[:, 0, :] | (qlo[:, 1, :] << 16)
+    row[:, 32:64] = qlo[:, 2, :] | (qhi[:, 0, :] << 16)
+    row[:, 64:96] = qhi[:, 1, :] | (qhi[:, 2, :] << 16)
+    row[:, 96:99] = origin.astype(np.float32).view(np.uint32)
+    row[:, 99:102] = scale.astype(np.float32).view(np.uint32)
+    return row.view(np.int32)
 
 
 def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
@@ -241,6 +335,14 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
     new_of_old[leaf_perm[::-1]] = np.arange(len(leaf_perm))[::-1]
     node_leaf = np.where(node_leaf >= 0,
                          new_of_old[np.maximum(node_leaf, 0)], node_leaf)
+    # Quantized width-32 collapse of the same binary tree (node_leaf now
+    # references final leaf-table rows, so its leaf_perm IS the q32->table
+    # row map).
+    w32_packed, q32_depth, meta32, q32_perm = _collapse_wide(
+        node_min, node_max, miss, node_leaf, width=32)
+    wnode_q32 = _quantize_wide32(w32_packed)
+    if len(q32_perm) == 0:
+        q32_perm = np.zeros(1, np.int64)
     leaf_size = leaf_arr.shape[1]
     safe = np.maximum(leaf_arr, 0)
     l_i = indices[safe]
@@ -310,6 +412,10 @@ def _finalize(positions: np.ndarray, indices: np.ndarray, node_min, node_max,
         max_depth=int(max_depth),
         wide_depth=int(wide_depth),
         wnode_meta=jnp.asarray(wnode_meta),
+        wnode_q32=jnp.asarray(wnode_q32),
+        wnode_meta32=jnp.asarray(meta32),
+        q32_leaf_perm=jnp.asarray(q32_perm, jnp.int32),
+        q32_depth=int(q32_depth),
     )
 
 
@@ -1259,7 +1365,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     compact_window: int = 0, steady_drain: int = 0,
                     drain_first: bool = False,
                     compact_order: str = "morton",
-                    row_cursors: int = 0, row_expand: int = 2):
+                    row_cursors: int = 0, row_expand: int = 2,
+                    q32: bool = False):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -1274,7 +1381,7 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                                  steady_drain=steady_drain,
                                  drain_first=drain_first,
                                  row_cursors=row_cursors,
-                                 row_expand=row_expand)
+                                 row_expand=row_expand, q32=q32)
         if compact_window > 1:
             from rust_renderer_tpu.ops.compaction import traverse_compacted
 
@@ -1289,7 +1396,8 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                      wide: bool = True, ordered: bool = False,
                      compact_window: int = 0, steady_drain: int = 3,
                      compact_order: str = "morton",
-                     row_cursors: int = 8, row_expand: int = 2):
+                     row_cursors: int = 8, row_expand: int = 2,
+                     q32: bool = False):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
@@ -1323,7 +1431,8 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                            dual=steady_drain > 0, steady_drain=steady_drain,
                            compact_window=compact_window,
                            compact_order=compact_order,
-                           row_cursors=row_cursors, row_expand=row_expand)
+                           row_cursors=row_cursors, row_expand=row_expand,
+                           q32=q32)
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
         t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
@@ -1345,7 +1454,8 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  wide: bool = True, ordered: bool = False,
                  compact_window: int = 0, steady_drain: int = 3,
                  compact_order: str = "morton", seed_rows: int = 0,
-                 row_cursors: int = 8, row_expand: int = 2):
+                 row_cursors: int = 8, row_expand: int = 2,
+                 q32: bool = False):
     # steady_drain=3 + dual: the dual-expand steady-drain kernel
     # (_make_kernel_wide_sdd) — two 16-bit child masks fill the one
     # extracted int32, leaf rows drain LIFO D-per-iteration with no
@@ -1369,7 +1479,8 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                            compact_window=compact_window,
                            drain_first=steady_drain > 0,
                            compact_order=compact_order,
-                           row_cursors=row_cursors, row_expand=row_expand)
+                           row_cursors=row_cursors, row_expand=row_expand,
+                           q32=q32)
     seed = make_seed_test(bvh, seed_rows) if seed_rows > 0 else None
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):

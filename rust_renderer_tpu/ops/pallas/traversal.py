@@ -1227,6 +1227,344 @@ def _pc16(x):
     return (x + (x >> 8)) & 0x1F
 
 
+def _pc32(x):
+    """Scalar popcount of a 32-bit value (SWAR, logical shifts: the sign
+    bit is a live mask bit — slot 0 of a bit-reversed width-32 mask)."""
+    lsr = jax.lax.shift_right_logical
+    x = x - (lsr(x, 1) & jnp.int32(0x55555555))
+    x = (x & jnp.int32(0x33333333)) + (lsr(x, 2) & jnp.int32(0x33333333))
+    x = (x + lsr(x, 4)) & jnp.int32(0x0F0F0F0F)
+    x = x + lsr(x, 8)
+    x = x + lsr(x, 16)
+    return x & jnp.int32(0x3F)
+
+
+def _make_kernel_wide_row32(leaf_size: int, any_hit: bool, drain: int,
+                            expand: int, dma_leaf: bool = False):
+    """Row-cursor traversal over the QUANTIZED width-32 wide tree
+    (bvh.wnode_q32 — _quantize_wide32 layout: 3 packed 16-bit plane pairs
+    per child in lanes [p*32+c], f32 grid origin/scale header in lanes
+    96..101).
+
+    Same scheduling as _make_kernel_wide_row (8 per-sublane-row cursors,
+    steady leaf drain, single-pop mask entries), with three deltas:
+    - each expand retires 32 boxes per cursor instead of 16 (one VMEM row
+      fetch either way — rows cost 512 B at ANY width; this is the whole
+      point of quantization: carry 2x more tree per fetch);
+    - stack/queue entries are (ptr, mask32) PAIRS in two parallel SMEM
+      planes (32 mask bits no longer share an int32 with the pointer;
+      node count is no longer capped at 64k);
+    - slab operands dequantize on the fly: the whole fetched row converts
+      with TWO ops (lo/hi 16-bit halves -> f32) and each plane is one fma
+      q*A_k + B_k against per-node A_k = scale_k * inv_d,
+      B_k = (origin_k - o_k) * inv_d — fewer vector ops per child than the
+      f32 kernel's (b - o) * inv per plane.
+
+    Exactness: quantized boxes are conservative supersets (see
+    _quantize_wide32), so the walk visits a superset of the f32 walk's
+    nodes and the triangle tests decide. Leaf rows resolve through the
+    q32_leaf_perm SMEM table (the leaf table itself stays in the width-16
+    collapse order shared by every other kernel).
+
+    Reference role: the traversal scheduling of
+    utopian/src/raytracing.rs:113-217 (PREFER_FAST_TRACE BLAS), re-planned
+    for packet SIMD + quantized wide nodes.
+    """
+    W = 32
+
+    def kernel(node_ref, leaf_ref, meta_ref, perm_ref, o_ref, d_ref,
+               tlim_ref, t_out, prim_out, u_out, v_out, *rest):
+        sptr_ref, smask_ref, qptr_ref, qmask_ref = rest[0:4]
+        rowbuf_ref = rest[4] if dma_leaf else None
+        dma_sem = rest[5] if dma_leaf else None
+        ox = o_ref[0, 0]
+        oy = o_ref[0, 1]
+        oz = o_ref[0, 2]
+        dx = d_ref[0, 0]
+        dy = d_ref[0, 1]
+        dz = d_ref[0, 2]
+        t_min = tlim_ref[0, 0]
+        t_max = tlim_ref[0, 1]
+
+        def safe(a):
+            return jnp.where(jnp.abs(a) < 1e-12,
+                             jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        ix = 1.0 / safe(dx)
+        iy = 1.0 / safe(dy)
+        iz = 1.0 / safe(dz)
+        degenerate = ((dx * dx + dy * dy + dz * dz) < 1e-12).astype(jnp.int32)
+
+        n_meta = meta_ref.shape[0] // 4
+        dead_row = leaf_ref.shape[0] - 1
+        lsr = jax.lax.shift_right_logical
+        # Synthetic root: meta row n_meta-1 has int_last=0 and
+        # static_int_rev32 = 1<<31, so popping bit 31 expands wide node 0.
+        root_mask = jnp.int32(np.uint32(1 << (W - 1)).astype(np.int32))
+        for g in range(8):
+            sptr_ref[g, 0] = jnp.int32(n_meta - 1)
+            smask_ref[g, 0] = root_mask
+            qptr_ref[g, 0] = jnp.int32(0)
+            qmask_ref[g, 0] = jnp.int32(0)
+
+        def slab_cols(qf_lo, qf_hi, AB, c, best_t, not_done):
+            (Ax, Bx), (Ay, By), (Az, Bz) = AB
+            tx0 = qf_lo[:, c:c + 1] * Ax + Bx
+            ty0 = qf_hi[:, c:c + 1] * Ay + By
+            tz0 = qf_lo[:, W + c:W + c + 1] * Az + Bz
+            tx1 = qf_hi[:, W + c:W + c + 1] * Ax + Bx
+            ty1 = qf_lo[:, 2 * W + c:2 * W + c + 1] * Ay + By
+            tz1 = qf_hi[:, 2 * W + c:2 * W + c + 1] * Az + Bz
+            tnear = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                            jnp.minimum(ty0, ty1)),
+                                jnp.minimum(tz0, tz1))
+            tfar = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            return ((tfar >= jnp.maximum(tnear, t_min))
+                    & (tnear <= best_t) & not_done)
+
+        def tri_tests_cols(lrows, args):
+            best_t, best_prim, best_u, best_v, done = args
+            lrows_i = jax.lax.bitcast_convert_type(lrows, jnp.int32)
+            alive = done == 0
+            cands = []
+            hits = []
+            for s in range(leaf_size):
+                b = s * 9
+                col = lambda k: lrows[:, b + k:b + k + 1]
+                v0x, v0y, v0z = col(0), col(1), col(2)
+                e1x, e1y, e1z = col(3), col(4), col(5)
+                e2x, e2y, e2z = col(6), col(7), col(8)
+                tri = lrows_i[:, 9 * leaf_size + s:9 * leaf_size + s + 1]
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                u = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                ok = (
+                    (tri >= 0)
+                    & (jnp.abs(det) > 1e-12)
+                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > t_min) & (t < best_t)
+                    & alive
+                )
+                if any_hit:
+                    hits.append(ok)
+                    continue
+                cands.append((
+                    jnp.where(ok, t, 3.0e38),
+                    jnp.where(ok, jnp.broadcast_to(tri, ok.shape), -1),
+                    u, v,
+                ))
+            if any_hit:
+                while len(hits) > 1:
+                    hits = [
+                        jnp.logical_or(hits[i], hits[i + 1])
+                        if i + 1 < len(hits) else hits[i]
+                        for i in range(0, len(hits), 2)
+                    ]
+                hit_any = hits[0]
+                best_prim = jnp.where(hit_any, jnp.int32(0), best_prim)
+                done = jnp.maximum(done, hit_any.astype(jnp.int32))
+                return best_t, best_prim, best_u, best_v, done
+
+            def merge(a, b):
+                ta, pa, ua, va = a
+                tb, pb, ub, vb = b
+                take_b = tb < ta
+                return (
+                    jnp.where(take_b, tb, ta),
+                    jnp.where(take_b, pb, pa),
+                    jnp.where(take_b, ub, ua),
+                    jnp.where(take_b, vb, va),
+                )
+
+            while len(cands) > 1:
+                cands = [
+                    merge(cands[i], cands[i + 1])
+                    if i + 1 < len(cands) else cands[i]
+                    for i in range(0, len(cands), 2)
+                ]
+            t_c, p_c, u_c, v_c = cands[0]
+            improved = t_c < best_t
+            best_t = jnp.where(improved, t_c, best_t)
+            best_prim = jnp.where(improved, p_c, best_prim)
+            best_u = jnp.where(improved, u_c, best_u)
+            best_v = jnp.where(improved, v_c, best_v)
+            return best_t, best_prim, best_u, best_v, done
+
+        def cond(state):
+            pend = state[0]
+            for k in range(1, 16):
+                pend = pend | state[k]
+            return pend > 0
+
+        def body(state):
+            sps = list(state[0:8])
+            qns = list(state[8:16])
+            best_t, best_prim, best_u, best_v, done = state[16:21]
+            not_done = done == 0
+
+            # Pops: per expand slot, each cursor decodes one bit off its
+            # top (ptr, mask32) stack pair (masks bit-reversed: low bit =
+            # highest slot = production visit order).
+            exp_ptrs = []
+            for _e in range(expand):
+                ptrs = []
+                for g in range(8):
+                    sp = sps[g]
+                    has = sp > 0
+                    at = jnp.maximum(sp - 1, 0)
+                    m = smask_ref[g, at]
+                    m = jnp.where(has, m, 0)
+                    low = m & -m
+                    rest_m = m ^ low
+                    pn = sptr_ref[g, at]
+
+                    @pl.when(rest_m != 0)
+                    def _(g=g, at=at, v=m ^ low):
+                        smask_ref[g, at] = v
+
+                    sps[g] = jnp.where(has & (rest_m == 0), sp - 1, sp)
+                    st_int = meta_ref[4 * pn + 2]
+                    child = meta_ref[4 * pn] - _pc32(st_int & (low - 1))
+                    ptrs.append((jnp.where(has, child, 0), has))
+                exp_ptrs.append(ptrs)
+
+            # Expands: one (8, 128) int32 node tile per expand slot; the
+            # whole tile dequantizes with two halfword->f32 converts, then
+            # each child's slab is 6 fma against per-node A/B.
+            packed = [jnp.zeros((8, 128), jnp.int32) for _ in range(expand)]
+            for e in range(expand):
+                rows = jnp.concatenate(
+                    [node_ref[pl.ds(exp_ptrs[e][g][0], 1)] for g in range(8)],
+                    axis=0)
+                hdr = jax.lax.bitcast_convert_type(rows, jnp.float32)
+                qf_lo = (rows & jnp.int32(0xFFFF)).astype(jnp.float32)
+                qf_hi = lsr(rows, 16).astype(jnp.float32)
+                AB = []
+                for k, (o_k, i_k) in enumerate(((ox, ix), (oy, iy),
+                                                (oz, iz))):
+                    sc = hdr[:, 99 + k:100 + k]
+                    og = hdr[:, 96 + k:97 + k]
+                    AB.append((sc * i_k, (og - o_k) * i_k))
+                for c in range(W):
+                    hit = slab_cols(qf_lo, qf_hi, AB, c, best_t, not_done)
+                    packed[e] = packed[e] | (
+                        hit.astype(jnp.int32) << (W - 1 - c))
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                for e in range(expand):
+                    packed[e] = packed[e] | pltpu.roll(packed[e], s, axis=1)
+
+            words = {}
+            for e in range(expand):
+                for g in range(8):
+                    words[(e, g)] = packed[e][g, 0]
+
+            # Pushes: ONE (ptr, mask) pair per expanded node per kind.
+            # Expand slot 1 (the DFS-later node) pushes BEFORE slot 0.
+            for e in range(expand - 1, -1, -1):
+                for g in range(8):
+                    ptr, act = exp_ptrs[e][g]
+                    m32 = jnp.where(act, words[(e, g)], 0)
+                    int_hit = m32 & meta_ref[4 * ptr + 2]
+                    leaf_hit = m32 & meta_ref[4 * ptr + 3]
+
+                    @pl.when(int_hit != 0)
+                    def _(g=g, at=jnp.minimum(sps[g], RC_SCAP - 1), p=ptr,
+                          v=int_hit):
+                        sptr_ref[g, at] = p
+                        smask_ref[g, at] = v
+
+                    sps[g] = jnp.minimum(
+                        sps[g] + (int_hit != 0).astype(jnp.int32), RC_SCAP)
+
+                    @pl.when(leaf_hit != 0)
+                    def _(g=g, at=jnp.minimum(qns[g], RC_QCAP - 1), p=ptr,
+                          v=leaf_hit):
+                        qptr_ref[g, at] = p
+                        qmask_ref[g, at] = v
+
+                    qns[g] = jnp.minimum(
+                        qns[g] + (leaf_hit != 0).astype(jnp.int32), RC_QCAP)
+
+            # Steady drain: per slot, each cursor decodes one leaf row off
+            # its top queue pair; q32 leaf ids resolve through perm_ref.
+            args = (best_t, best_prim, best_u, best_v, done)
+            slot_rows = []
+            for _k in range(drain):
+                rows_idx = []
+                for g in range(8):
+                    qn = qns[g]
+                    has = qn > 0
+                    at = jnp.maximum(qn - 1, 0)
+                    m = qmask_ref[g, at]
+                    m = jnp.where(has, m, 0)
+                    low = m & -m
+                    rest_m = m ^ low
+                    pn = qptr_ref[g, at]
+
+                    @pl.when(rest_m != 0)
+                    def _(g=g, at=at, v=m ^ low):
+                        qmask_ref[g, at] = v
+
+                    qns[g] = jnp.where(has & (rest_m == 0), qn - 1, qn)
+                    st_leaf = meta_ref[4 * pn + 3]
+                    li = meta_ref[4 * pn + 1] - _pc32(st_leaf & (low - 1))
+                    row = perm_ref[jnp.maximum(li, 0)]
+                    rows_idx.append(jnp.where(has, row, dead_row))
+                slot_rows.append(rows_idx)
+            if dma_leaf:
+                dmas = []
+                for k in range(drain):
+                    for g in range(8):
+                        dma = pltpu.make_async_copy(
+                            leaf_ref.at[pl.ds(slot_rows[k][g], 1)],
+                            rowbuf_ref.at[pl.ds(k * 8 + g, 1)],
+                            dma_sem.at[k * 8 + g],
+                        )
+                        dma.start()
+                        dmas.append(dma)
+                for k in range(drain):
+                    for g in range(8):
+                        dmas[k * 8 + g].wait()
+                    args = tri_tests_cols(rowbuf_ref[pl.ds(k * 8, 8)], args)
+            else:
+                for k in range(drain):
+                    lrows = jnp.concatenate(
+                        [leaf_ref[pl.ds(slot_rows[k][g], 1)]
+                         for g in range(8)],
+                        axis=0)
+                    args = tri_tests_cols(lrows, args)
+            best_t, best_prim, best_u, best_v, done = args
+            return (*sps, *qns, best_t, best_prim, best_u, best_v, done)
+
+        init = tuple(jnp.int32(1) for _ in range(8)) + tuple(
+            jnp.int32(0) for _ in range(8)) + (
+            jnp.minimum(jnp.full((8, 128), 3.0e38, jnp.float32), t_max),
+            jnp.full((8, 128), -1, jnp.int32),
+            jnp.zeros((8, 128), jnp.float32),
+            jnp.zeros((8, 128), jnp.float32),
+            degenerate,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        best_t, best_prim, best_u, best_v = out[16:20]
+        t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
+        prim_out[0] = best_prim
+        u_out[0] = best_u
+        v_out[0] = best_v
+
+    return kernel
+
+
 def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                           expand: int, dma_leaf: bool = False,
                           overflow_stats: bool = False):
@@ -2069,14 +2407,14 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
         "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
         "steady_drain", "drain_first", "row_cursors", "row_expand",
-        "overflow_stats",
+        "overflow_stats", "q32",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
          dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False,
          steady_drain=0, drain_first=False, row_cursors=0, row_expand=2,
-         meta=None, overflow_stats=False):
+         meta=None, overflow_stats=False, q32=False, q32_perm=None):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -2117,6 +2455,29 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
     if row_path:
         assert not stats, "row-cursor kernel has no stats path"
         rd = steady_drain if steady_drain > 0 else 3
+        row_dma = [
+            pltpu.VMEM((rd * 8, leaf_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((rd * 8,)),
+        ] if dma_leaf else []
+        if q32:
+            kernel = _make_kernel_wide_row32(
+                leaf_size, any_hit, rd, row_expand, dma_leaf=dma_leaf)
+            in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
+            in_specs.insert(3, pl.BlockSpec(memory_space=pltpu.SMEM))
+            grid_spec = pl.GridSpec(
+                grid=(b,), in_specs=in_specs, out_specs=out_specs,
+                # (ptr, mask32) pairs: two parallel SMEM planes per stack.
+                scratch_shapes=[
+                    pltpu.SMEM((8, RC_SCAP), jnp.int32),
+                    pltpu.SMEM((8, RC_SCAP), jnp.int32),
+                    pltpu.SMEM((8, RC_QCAP), jnp.int32),
+                    pltpu.SMEM((8, RC_QCAP), jnp.int32),
+                ] + row_dma,
+            )
+            return pl.pallas_call(kernel, out_shape=out_shape,
+                                  grid_spec=grid_spec)(
+                node_packed, leaf_packed, meta.reshape(-1),
+                q32_perm, o, d, tlim)
         kernel = _make_kernel_wide_row(
             leaf_size, any_hit, rd, row_expand, dma_leaf=dma_leaf,
             overflow_stats=overflow_stats)
@@ -2124,10 +2485,6 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
             out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.int32))
             out_specs = out_specs + [out_block]
         in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
-        row_dma = [
-            pltpu.VMEM((rd * 8, leaf_cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((rd * 8,)),
-        ] if dma_leaf else []
         grid_spec = pl.GridSpec(
             grid=(b,), in_specs=in_specs, out_specs=out_specs,
             scratch_shapes=[
@@ -2202,7 +2559,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            leaf_queue: int = 0, mask_via_vmem: bool = False,
                            steady_drain: int = 0, drain_first: bool = False,
                            row_cursors: int = 0, row_expand: int = 2,
-                           overflow_stats: bool = False):
+                           overflow_stats: bool = False, q32: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -2280,7 +2637,21 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         nb //= 2
     assert not (dma_leaf and not wide), "dma_leaf requires the wide kernel"
     meta = None
-    if row_cursors:
+    q32_perm = None
+    if row_cursors and q32:
+        meta32 = getattr(bvh, "wnode_meta32", None)
+        q32_node = getattr(bvh, "wnode_q32", None)
+        q32_perm = getattr(bvh, "q32_leaf_perm", None)
+        too_deep32 = (row_expand * (int(getattr(bvh, "q32_depth", 0)) + 1)
+                      + 2 > RC_SCAP)
+        if (not wide or stats or meta32 is None or q32_node is None
+                or q32_perm is None or too_deep32):
+            q32 = False
+            q32_perm = None
+        else:
+            meta = meta32
+            node_table = q32_node
+    if row_cursors and not q32:
         meta = getattr(bvh, "wnode_meta", None)
         too_big = bvh.wnode_packed.shape[0] + 1 > (1 << 16)
         # Conservative static bound on per-cursor stack need: each expand
@@ -2294,18 +2665,18 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
             # the drain fetches rows by pipelined async copy.
             row_cursors = 0
             meta = None
-        else:
-            # One all-dead row (tri ids -1) for empty-queue drain slots.
-            # The concat runs in INT32 space: tri ids are int32 bit
-            # patterns stored in f32 columns — denormals — and an f32
-            # concatenate fusion FLUSHES them to zero on TPU (measured:
-            # 346k -> 86k nonzero ids on the Sponza-scale table; every
-            # hit then returned prim=0 while t stayed exact).
-            lt_i = jax.lax.bitcast_convert_type(leaf_table, jnp.int32)
-            dead_i = jnp.zeros((1, leaf_table.shape[1]), jnp.int32)
-            dead_i = dead_i.at[0, 9 * ls:9 * ls + ls].set(-1)
-            leaf_table = jax.lax.bitcast_convert_type(
-                jnp.concatenate([lt_i, dead_i], axis=0), jnp.float32)
+    if row_cursors and meta is not None:
+        # One all-dead row (tri ids -1) for empty-queue drain slots.
+        # The concat runs in INT32 space: tri ids are int32 bit
+        # patterns stored in f32 columns — denormals — and an f32
+        # concatenate fusion FLUSHES them to zero on TPU (measured:
+        # 346k -> 86k nonzero ids on the Sponza-scale table; every
+        # hit then returned prim=0 while t stayed exact).
+        lt_i = jax.lax.bitcast_convert_type(leaf_table, jnp.int32)
+        dead_i = jnp.zeros((1, leaf_table.shape[1]), jnp.int32)
+        dead_i = dead_i.at[0, 9 * ls:9 * ls + ls].set(-1)
+        leaf_table = jax.lax.bitcast_convert_type(
+            jnp.concatenate([lt_i, dead_i], axis=0), jnp.float32)
     row_active = bool(row_cursors) and meta is not None
     out = _run(
         node_table, leaf_table, o, d, tlim, ls, any_hit, ordered,
@@ -2314,7 +2685,8 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         mask_via_vmem=mask_via_vmem, steady_drain=steady_drain,
         drain_first=drain_first, row_cursors=row_cursors,
         row_expand=row_expand, meta=meta,
-        overflow_stats=overflow_stats and row_active,
+        overflow_stats=overflow_stats and row_active and not q32,
+        q32=bool(q32) and row_active, q32_perm=q32_perm,
     )
     if stats:
         t, prim, u, v, st = out
@@ -2324,8 +2696,9 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         # 5th value: (B, 8, 128) int32 — per block, row 0 lane 0 = clamped
         # stack pushes, row 1 lane 0 = clamped queue pushes; None when the
         # launch fell back to a non-row kernel (which has no fixed
-        # per-cursor capacities to breach).
-        if row_active:
+        # per-cursor capacities to breach) or ran the q32 kernel (deep
+        # trees fall back to steady-drain instead of clamping).
+        if row_active and not q32:
             t, prim, u, v, ovf = out
             return unpack(t), unpack(prim), unpack(u), unpack(v), ovf
         t, prim, u, v = out

@@ -139,7 +139,11 @@ def setup_ssao_pass(graph: Graph, width: int, height: int,
     graph.create_texture("ssao_output", width, height, 1, clear=1.0)
 
     def render(res, scene, view, u):
-        occ = ssao_ops.ssao(
+        # Shift-stencil formulation: the exact form's 32·W·H dynamic tap
+        # coordinates hit the ~9 ns/index gather floor (~600 ms @1080p);
+        # the stencil form is dense VPU selects over static shifted planes
+        # (ops/ssao.py ssao_stencil — the FXAA re-design applied to SSAO).
+        occ = ssao_ops.ssao_stencil(
             res["gbuffer_position"], res["gbuffer_normal"],
             view.view, view.projection, u["radius"], u["bias"],
         )

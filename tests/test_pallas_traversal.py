@@ -562,3 +562,89 @@ def test_window_forward_map():
     # window 0: live lanes 0,2 -> slots 0,1; dead 1,3 -> 2,3
     # window 1: lane 4 dead -> slot 7; lanes 5,6,7 live -> 4,5,6
     np.testing.assert_array_equal(fwd, [0, 2, 1, 3, 7, 4, 5, 6])
+
+
+# -- quantized width-32 row-cursor kernel (wnode_q32) -------------------------
+
+
+def test_pallas_q32_matches_closest():
+    """Conservative 16-bit quantization must be EXACT: the q32 walk visits
+    a superset of the f32 walk's nodes and triangle tests decide."""
+    b = _soup_bvh(n=150, seed=71)
+    o, d = _rays(n=2048, seed=72)
+    t1, p1, u1, v1 = _pallas_traverse(b, o, d, row_cursors=8, q32=True,
+                                      row_expand=1)
+    t2, p2, u2, v2 = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u1)[hit], np.asarray(u2)[hit],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_q32_matches_any_hit():
+    b = _soup_bvh(n=120, seed=73)
+    o, d = _rays(seed=74)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8, q32=True,
+                                    any_hit=True)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(p1) >= 0, np.asarray(p2) >= 0)
+
+
+def test_pallas_q32_expand2():
+    b = _soup_bvh(n=90, seed=75)
+    o, d = _rays(seed=76)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8, q32=True,
+                                    row_expand=2)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_pallas_q32_dma_leaf():
+    b = _soup_bvh(n=100, seed=77)
+    o, d = _rays(seed=78)
+    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8, q32=True,
+                                    dma_leaf=True)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    hit = np.asarray(p1) >= 0
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+
+
+def test_pallas_q32_degenerate_and_tmax():
+    b = _soup_bvh(n=60, seed=79)
+    o, d = _rays(seed=80)
+    d = d.at[::5].set(0.0)  # degenerate rays must retire, not hang
+    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8, q32=True,
+                                    t_max=4.0)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d, t_max=4.0)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert (np.asarray(p1)[::5] == -1).all()
+
+
+def test_q32_quantization_is_conservative():
+    """Every dequantized child box must contain its f32 box (2-ulp grid
+    widening + one quantization step of padding per side)."""
+    from rust_renderer_tpu.ops.bvh import WIDE_EMPTY, _collapse_wide
+
+    b = _soup_bvh(n=200, seed=81)
+    packed, _, _, _ = _collapse_wide(
+        np.asarray(b.node_min), np.asarray(b.node_max),
+        np.asarray(b.node_miss), np.asarray(b.node_leaf), width=32)
+    q = np.asarray(b.wnode_q32).view(np.uint32)
+    n = q.shape[0]
+    boxes = packed[:, :6 * 32].reshape(n, 6, 32)
+    refs = packed[:, 6 * 32:].view(np.int32)
+    origin = q[:, 96:99].view(np.float32).reshape(n, 3)
+    scale = q[:, 99:102].view(np.float32).reshape(n, 3)
+    qlo = np.stack([q[:, 0:32] & 0xFFFF, q[:, 0:32] >> 16,
+                    q[:, 32:64] & 0xFFFF], 1).astype(np.float64)
+    qhi = np.stack([q[:, 32:64] >> 16, q[:, 64:96] & 0xFFFF,
+                    q[:, 64:96] >> 16], 1).astype(np.float64)
+    lo_dq = origin[:, :, None] + qlo * scale[:, :, None]
+    hi_dq = origin[:, :, None] + qhi * scale[:, :, None]
+    valid = (refs != WIDE_EMPTY)[:, None, :] & np.ones((1, 3, 1), bool)
+    assert (lo_dq[valid] <= boxes[:, 0:3, :][valid] + 1e-30).all()
+    assert (hi_dq[valid] >= boxes[:, 3:6, :][valid] - 1e-30).all()

@@ -258,6 +258,19 @@ def main():
             return compaction.traverse_compacted(
                 bvh, o, d, tmin, tmax, window_blocks=int(v[3:]),
                 method="sort", any_hit=any_hit, dual=True, steady_drain=3)
+        if v.startswith("wq") and "e" in v[2:]:
+            # wq<W>e<E>[d<D>]: morton windowed compaction + QUANTIZED
+            # width-32 row-cursor kernel (bvh.wnode_q32: 16-bit child
+            # boxes, 32 children per 512 B row — one fetch tests 2x the
+            # tree of the f32 w16 row).
+            from rust_renderer_tpu.ops import compaction
+            wb, rest = v[2:].split("e")
+            ex, _, dr = rest.partition("d")
+            return compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=int(wb),
+                method="sort", order="morton", any_hit=any_hit,
+                row_cursors=8, row_expand=int(ex),
+                steady_drain=int(dr or 3), q32=True)
         if v.startswith("wrc") and "e" in v[3:]:
             # wrc<W>e<E>[d<D>]: morton windowed compaction + ROW-CURSOR
             # kernel (8 per-sublane cursors, mask-entry stacks), expand E,
