@@ -303,17 +303,26 @@ class Application:
         """
         last = None
         last_dev = None
+
+        def present(arr):
+            # HUD compositing happens at PRESENT time on the host copy —
+            # the analog of the reference recording the egui pass into the
+            # swapchain image after the scene passes (ui.rs:56-75).
+            return self.ui.compose(arr, self.view, self.cfg,
+                                   self.render_graph_mode,
+                                   self.fps_timer.fps, self.total_samples)
+
         for i in range(num_frames):
             self.input.begin_frame()
             resources = self.render_frame()
             if "present_output" in resources:
                 last_dev = resources["present_output"]
                 if present_every > 0 and (i + 1) % present_every == 0:
-                    last = np.asarray(last_dev)  # blocks: the 'present'
+                    last = present(np.asarray(last_dev))  # blocks: 'present'
                     if on_frame is not None:
                         on_frame(i, last)
         if last_dev is not None:
-            last = np.asarray(last_dev)
+            last = present(np.asarray(last_dev))
         if save_to and last is not None:
             save_png(save_to, last)
         return last

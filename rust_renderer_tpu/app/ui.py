@@ -35,6 +35,10 @@ _TRACKED = (
 class UiState:
     show_profiler: bool = False  # toggled by Q (main.rs:450-453)
     gizmo_instance: int | None = None
+    # Composite the settings HUD into the PRESENTED frame (ui.rs:56-75
+    # paints egui into the swapchain image). Off by default so goldens and
+    # benches never see it; the viewer toggles it with 'u'.
+    overlay: bool = False
 
 
 class Ui:
@@ -74,3 +78,38 @@ class Ui:
         """U32Checkbox analog: flips an int flag on RenderSettings."""
         cur = int(getattr(view, name))
         return view.replace(**{name: jnp.asarray(0 if cur else 1, jnp.int32)})
+
+    def hud_lines(self, view, cfg, mode, fps: float,
+                  total_samples: int) -> list:
+        """The settings-panel content (update_ui, main.rs:178-360), as text
+        lines for the frame-composited HUD (utils/hud.py)."""
+        import numpy as np
+
+        def flag(name):
+            return "ON" if int(getattr(view, name)) else "OFF"
+
+        return [
+            f"MODE: {getattr(mode, 'name', mode)}",
+            f"FPS: {fps:.2f}",
+            f"SAMPLES: {total_samples}",
+            f"BOUNCES: {cfg.num_bounces}",
+            f"LIGHTS: {int(np.asarray(view.num_lights))}"
+            f" SKY: {flag('sky_enabled')}",
+            f"SHADOWS: {flag('shadows_enabled')}"
+            f" SSAO: {flag('ssao_enabled')}",
+            f"FXAA: {flag('fxaa_enabled')}"
+            f" IBL: {flag('ibl_enabled')}",
+            f"TEMPORAL: {flag('temporal_reuse_enabled')}"
+            f" SPATIAL: {flag('spatial_reuse_enabled')}",
+        ]
+
+    def compose(self, img, view, cfg, mode, fps: float,
+                total_samples: int):
+        """Composite the HUD into a presented numpy frame (no-op copy-free
+        pass-through when the overlay is off)."""
+        if not self.state.overlay or img is None:
+            return img
+        from rust_renderer_tpu.utils.hud import compose_hud
+
+        return compose_hud(
+            img, self.hud_lines(view, cfg, mode, fps, total_samples))

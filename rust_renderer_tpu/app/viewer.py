@@ -13,6 +13,7 @@ Controls (HUD shows live state):
   1/2/3/4   render graph mode (main.rs:415-428)
   w/a/s/d   camera (camera.rs dolly rig)
   q         profiler toggle (main.rs:450-453)
+  n         settings panel composited into the frame (ui.rs:56-75 analog)
   h o x v b shadows / ssao / fxaa / sky / ibl
   t y u l   temporal reuse / spatial reuse / RIS light sampling / lights
   z c       fxaa edge-direction debug / CSM cascade-debug tint
@@ -228,9 +229,16 @@ def run_interactive(app, max_frames: int | None = None) -> None:
                     if app.input.key_pressed(key):
                         app.view = Ui.toggle_flag(app.view, flag)
                         app.reset_accumulation()
+                if app.input.key_pressed("n"):
+                    # composite the settings panel INTO the presented frame
+                    # (ui.rs:56-75 egui-into-swapchain analog)
+                    app.ui.state.overlay = not app.ui.state.overlay
                 _handle_gizmo(app, state)
                 resources = app.render_frame()
                 img = np.asarray(resources["present_output"])
+                img = app.ui.compose(img, app.view, app.cfg,
+                                     app.render_graph_mode,
+                                     app.fps_timer.fps, app.total_samples)
                 sys.stdout.write("\x1b[H")  # home
                 sys.stdout.write(frame_to_ansi(img, cols, view_rows))
                 sys.stdout.write("\n\x1b[0K" + _hud(app).replace("\n", "\n\x1b[0K"))
