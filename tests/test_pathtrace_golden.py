@@ -106,3 +106,80 @@ def test_accumulation_protocol():
     view_lim = view.replace(total_samples=jnp.uint32(10), accumulation_limit=jnp.int32(5))
     r2 = frame(scene, view_lim, r1.accumulation)
     np.testing.assert_allclose(np.asarray(r2.accumulation), np.asarray(r1.accumulation))
+
+
+# -- north-star gate: 256² <1% RMSE vs the independent CPU tracer -------------
+
+GOLD_256 = 256
+GOLD_256_SPP = 96  # framework side; CPU side is the committed 512-spp image
+
+
+def _block_avg(img: np.ndarray, b: int) -> np.ndarray:
+    h, w, c = img.shape
+    return img.reshape(h // b, b, w // b, b, c).mean(axis=(1, 3))
+
+
+@pytest.fixture(scope="module")
+def tpu_image_256():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "rtiow_256_cpu_512spp.npy")
+    if not os.path.exists(path):
+        pytest.skip("golden missing (run tools/make_pt_golden.py)")
+    r = rt.Renderer()
+    cam = rt.Camera([0, 1, 4], [0, 0.5, -1], fov_degrees=60.0,
+                    aspect_ratio=1.0)
+    create_rtiow_scene(r, cam)
+    cam.set_position_target([0, 1, 4], [0, 0.5, -1])
+    scene = r.pack()
+    cfg = StaticConfig(width=GOLD_256, height=GOLD_256,
+                       samples_per_frame=1, num_bounces=BOUNCES)
+    view = RenderSettings.default(num_lights=0).with_camera(
+        cam, GOLD_256, GOLD_256).replace(
+        lights_enabled=jnp.int32(0), use_ris_light_sampling=jnp.int32(0))
+
+    @jax.jit
+    def frame(scene, view, accum):
+        return pathtrace.path_trace(scene, view, cfg, accum)
+
+    accum = jnp.zeros((GOLD_256, GOLD_256, 3), jnp.float32)
+    for f in range(1, GOLD_256_SPP + 1):
+        res = frame(scene, view.replace(total_samples=jnp.uint32(f)), accum)
+        accum = res.accumulation
+    ours = np.asarray(accum) / GOLD_256_SPP
+    return ours, np.load(path)
+
+
+@pytest.mark.slow
+def test_rtiow_golden_256_rmse_under_1pct(tpu_image_256):
+    """North-star gate (BASELINE config 1): <1% RMSE at the evaluation size,
+    linear space. 8x8 block averaging removes the residual Monte-Carlo
+    noise of the 96-spp framework side (sigma/sqrt(96*64) ~ 0.004) so the
+    gate measures BIAS — geometry, materials, camera, sky, NEE energy."""
+    ours, ref = tpu_image_256
+    a = _block_avg(ours, 8)
+    b = _block_avg(ref, 8)
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert rmse < 0.01, f"256² block RMSE {rmse:.5f} >= 1%"
+    # The same statistic must CATCH a 1.5% energy bias (gate sensitivity —
+    # a tolerance loose enough to hide one would be decorative).
+    biased = float(np.sqrt(np.mean((a * 1.015 - b) ** 2)))
+    assert biased > rmse and biased >= 0.008, (
+        f"gate would miss a 1.5% brightness bias ({biased:.5f})")
+
+
+@pytest.mark.slow
+def test_rtiow_golden_256_region_energy(tpu_image_256):
+    """Per-region mean energy within 1% relative (sky/ground/spheres)."""
+    ours, ref = tpu_image_256
+    h = w = GOLD_256
+    regions = {
+        "sky": (slice(0, h // 6), slice(0, w)),
+        "ground": (slice(5 * h // 6, h), slice(0, w)),
+        "center": (slice(h // 3, 2 * h // 3), slice(w // 3, 2 * w // 3)),
+    }
+    for name, sl in regions.items():
+        a = float(ours[sl].mean())
+        b = float(ref[sl].mean())
+        assert abs(a - b) / max(b, 1e-6) < 0.01, f"{name}: {a:.4f} vs {b:.4f}"
