@@ -168,6 +168,32 @@ class Graph:
         self.sanitize = bool(sanitize)
         self.suppress = tuple(suppress)
         self.last_sanitizer_report: dict[str, int] = {}
+        self._row_mesh = None
+        self._row_height = 0
+        self._row_axis = "rows"
+
+    def shard_image_rows(self, mesh, height: int, axis: str = "rows") -> None:
+        """Shard every image-space resource over `mesh` by row bands.
+
+        Multi-device analog of SURVEY §5.7 for the RASTERIZED/MINIMAL graphs
+        (the PT chain shards via parallel/tiles.py shard_map): each pass
+        output whose leading dim equals the frame height gets a
+        `with_sharding_constraint(P(axis, None, ...))`, and XLA's SPMD
+        partitioner propagates the layout through the whole frame program.
+
+        Halo choice (VERDICT r3 #5b): SSAO and FXAA sample neighbors via
+        STATIC shifts (pad+slice — ops/ssao.py ssao_stencil, ops/fxaa.py), so
+        we let GSPMD insert the halo exchanges for the band edges instead of
+        hand-rolling ppermute strips: the shift offsets are compile-time
+        constants, exactly the pattern the partitioner handles with minimal
+        collective-permutes. Light-space resources (cascade shadow maps,
+        cubemaps, BRDF LUT) keep their replicated layout — every band reads
+        all of them, like every GPU in a multi-GPU split-frame renderer
+        holds the full shadow atlas.
+        """
+        self._row_mesh = mesh
+        self._row_height = int(height)
+        self._row_axis = axis
 
     # -- per-frame recording (graph.rs:459-484) -----------------------------
 
@@ -261,6 +287,10 @@ class Graph:
         return (
             self._generation,
             self.sanitize,
+            None if self._row_mesh is None else (
+                self._row_axis, tuple(self._row_mesh.shape.items()),
+                self._row_height,
+            ),
             tuple(
                 (p.name, p.fn_key, tuple(p.reads), tuple(p.writes),
                  tuple(p.uniforms), p.isolated)
@@ -302,6 +332,18 @@ class Graph:
         persist = set(self.persist)
         groups = self._group_passes(list(self.passes))
         sanitize = self.sanitize
+        row_mesh, row_h, row_axis = (
+            self._row_mesh, self._row_height, self._row_axis)
+
+        def constrain_rows(arr):
+            """Row-band layout for image-space arrays (shard_image_rows)."""
+            if (row_mesh is not None and hasattr(arr, "ndim")
+                    and arr.ndim >= 2 and arr.shape[0] == row_h):
+                from jax.sharding import NamedSharding, PartitionSpec
+                spec = PartitionSpec(row_axis, *([None] * (arr.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    arr, NamedSharding(row_mesh, spec))
+            return arr
 
         def make_group_fn(passes: list[RenderPass]):
             def group_fn(resources: dict, scene, view_buf, uniforms: list[dict]):
@@ -320,6 +362,7 @@ class Graph:
                     outs = p.fn(resources, scene, view, u)
                     if outs:
                         for wname, arr in outs.items():
+                            arr = constrain_rows(arr)
                             resources[wname] = arr
                             if sanitize and jnp.issubdtype(arr.dtype, jnp.floating):
                                 checks[f"{p.name}/{wname}"] = jnp.sum(
