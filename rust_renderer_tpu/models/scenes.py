@@ -104,6 +104,37 @@ def create_cornell_box_scene(renderer: Renderer, camera: Camera) -> None:
         renderer.add_model(load_gltf(helmet_path), math3d.translation([-0.33, 0.4, 0.3]))
 
 
+def create_cornell_standin_scene(renderer: Renderer, camera: Camera) -> None:
+    """Self-contained Cornell box for the diffuse-light golden gate: the
+    asset-dependent halves of create_cornell_box_scene (scenes.rs:58-100
+    loads CornellBox-Original.gltf + FlightHelmet) replaced by procedural
+    wall slabs and clutter boxes, keeping the same camera rig and the same
+    DIFFUSE_LIGHT emitter cube. Front face open toward the camera."""
+    camera.set_position_target([0.0, 0.9, 2.0], [0.0, 0.5, 0.0])
+
+    def slab(color, t, s):
+        m = ModelLoader.load_cube()
+        m.meshes[0].material.base_color_factor = np.array(
+            [color[0], color[1], color[2], 1.0], np.float32)
+        renderer.add_model(m, math3d.translation(t) @ math3d.scale(s))
+
+    white, red, green = (0.73, 0.73, 0.73), (0.65, 0.05, 0.05), (0.12, 0.45, 0.15)
+    slab(white, [0.0, -0.05, 0.0], [2.2, 0.1, 2.2])    # floor
+    slab(white, [0.0, 2.05, 0.0], [2.2, 0.1, 2.2])     # ceiling
+    slab(white, [0.0, 1.0, -1.05], [2.2, 2.2, 0.1])    # back
+    slab(red, [-1.05, 1.0, 0.0], [0.1, 2.2, 2.2])      # left
+    slab(green, [1.05, 1.0, 0.0], [0.1, 2.2, 2.2])     # right
+
+    light = ModelLoader.load_cube()
+    light.meshes[0].material.material_type = MaterialType.DIFFUSE_LIGHT
+    renderer.add_model(
+        light, math3d.translation([0.0, 1.95, 0.0]) @ math3d.scale([0.50, 0.05, 0.35])
+    )
+
+    slab(white, [-0.38, 0.55, -0.35], [0.55, 1.1, 0.55])  # tall box
+    slab(white, [0.42, 0.28, 0.25], [0.56, 0.56, 0.56])   # short box
+
+
 def create_metal_rough_spheres(renderer: Renderer, camera: Camera) -> None:
     """scenes.rs:32-56."""
     camera.set_position_target([0.0, 0.9, 2.0], [0.0, 0.5, 0.0])

@@ -280,6 +280,149 @@ def render(
     return img / spp
 
 
+def _hit_tris(v0, e1, e2, o, d, t_min=1e-3, t_max=1e4):
+    """Brute-force Moller-Trumbore over every triangle. o, d: (N, 3);
+    v0/e1/e2: (T, 3). Returns (t, idx) with idx == -1 on miss."""
+    pv = np.cross(d[:, None, :], e2[None, :, :])
+    det = np.sum(e1[None] * pv, -1)
+    inv = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1.0, det), 0.0)
+    tv = o[:, None, :] - v0[None]
+    u = np.sum(tv * pv, -1) * inv
+    qv = np.cross(tv, e1[None])
+    v = np.sum(d[:, None, :] * qv, -1) * inv
+    t = np.sum(e2[None] * qv, -1) * inv
+    ok = ((np.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+          & (t > t_min) & (t < t_max))
+    t = np.where(ok, t, np.inf)
+    idx = np.argmin(t, -1)
+    best = t[np.arange(o.shape[0]), idx]
+    miss = np.isinf(best)
+    return np.where(miss, -1.0, best), np.where(miss, -1, idx)
+
+
+def render_tris(
+    tris,
+    width=128,
+    height=128,
+    spp=256,
+    bounces=3,
+    eye=(0.0, 0.9, 2.0),
+    target=(0.0, 0.5, 0.0),
+    fov_degrees=60.0,
+    sun_dir=(0.0, 0.90631, 0.42262),
+    sun_nee=True,
+    seed=7,
+):
+    """Independent triangle-scene path trace (Cornell-style diffuse-light
+    gate). `tris` is a dict of numpy arrays: v0/e1/e2 (T, 3) world-space
+    triangles plus per-triangle mat_type (T,) (0 lambertian, 1 metal,
+    2 dielectric, 3 diffuse light), albedo (T, 3), prop (T,).
+
+    Same semantics as the framework tracer (reference.rchit:20-91 /
+    reference.rgen:42-126): geometric normal flipped toward the incident
+    ray (equal to the interpolated cube vertex normals after the same
+    flip), diffuse light terminates the path adding throughput, sun NEE
+    from each post-scatter origin. Deliberately separate implementation —
+    brute-force all-triangle intersection, different RNG."""
+    v0 = np.asarray(tris["v0"], np.float64)
+    e1 = np.asarray(tris["e1"], np.float64)
+    e2 = np.asarray(tris["e2"], np.float64)
+    mat_type = np.asarray(tris["mat_type"], np.int64)
+    albedo_t = np.asarray(tris["albedo"], np.float64)
+    prop_t = np.asarray(tris["prop"], np.float64)
+    geo_n = np.cross(e1, e2)
+    geo_n /= np.maximum(np.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-20)
+
+    rng = np.random.default_rng(seed)
+    sun = np.asarray(sun_dir) / np.linalg.norm(sun_dir)
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, [0, 1, 0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    tan_half = np.tan(np.radians(fov_degrees) / 2)
+    aspect = width / height
+
+    img = np.zeros((height, width, 3))
+    n = width * height
+    py, px = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    px = px.reshape(-1).astype(np.float64)
+    py = py.reshape(-1).astype(np.float64)
+
+    for _ in range(spp):
+        jx = rng.uniform(size=n)
+        jy = rng.uniform(size=n)
+        u = (px + jx) / width * 2 - 1
+        v = (1 - (py + jy) / height) * 2 - 1
+        d = (
+            fwd[None, :]
+            + right[None, :] * (u * tan_half * aspect)[:, None]
+            + up[None, :] * (v * tan_half)[:, None]
+        )
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = np.tile(eye, (n, 1))
+
+        radiance = np.zeros((n, 3))
+        throughput = np.ones((n, 3))
+        active = np.ones(n, bool)
+
+        for _b in range(bounces):
+            t, idx = _hit_tris(v0, e1, e2, o, d)
+            missed = idx < 0
+
+            sky = sky_color(o, d / np.linalg.norm(d, axis=-1, keepdims=True), sun)
+            term = active & missed
+            radiance[term] += throughput[term] * sky[term]
+            active &= ~missed
+            if not active.any():
+                break
+
+            p = o + t[..., None] * d
+            safe = np.maximum(idx, 0)
+            nrm = geo_n[safe].copy()
+            flip = np.sum(nrm * d, -1) > 0
+            nrm[flip] = -nrm[flip]
+            mt = mat_type[safe]
+            us = _unit_sphere(rng, n)
+            refl_rand = rng.uniform(size=n)
+
+            color = np.where((mt == 0)[:, None], albedo_t[safe], 1.0)
+            dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+            lam_dir = nrm + us
+            metal_dir = _reflect(dn, nrm) + prop_t[safe][:, None] * us
+            eta = 1.0 / np.maximum(prop_t[safe], 1e-6)
+            cos_t = np.minimum(np.sum(-dn * nrm, -1), 1.0)
+            sin_t = np.sqrt(np.maximum(1 - cos_t**2, 0))
+            r0 = ((1 - eta) / (1 + eta)) ** 2
+            schlick = r0 + (1 - r0) * (1 - cos_t) ** 5
+            must_reflect = (eta * sin_t > 1.0) | (schlick > refl_rand)
+            diel_dir = np.where(
+                must_reflect[:, None], _reflect(dn, nrm), _refract(dn, nrm, eta[:, None])
+            )
+            newd = np.where(
+                (mt == 0)[:, None], lam_dir,
+                np.where((mt == 1)[:, None], metal_dir,
+                         np.where((mt == 2)[:, None], diel_dir, 0.0)),
+            )
+            throughput[active] *= color[active]
+            absorbed = active & (mt == 3)
+            radiance[absorbed] += throughput[absorbed]
+            active &= mt != 3
+
+            o = np.where(active[:, None], p + nrm * 1e-4, o)
+            d = np.where(active[:, None], newd, d)
+
+            if sun_nee and active.any():
+                _, sidx = _hit_tris(v0, e1, e2, o, np.broadcast_to(sun, o.shape))
+                vis = active & (sidx < 0)
+                radiance[vis] += throughput[vis]
+
+        img += radiance.reshape(height, width, 3)
+
+    return img / spp
+
+
 def srgb(linear):
     return np.where(
         linear < 0.0031308, linear * 12.92, 1.055 * np.maximum(linear, 1e-12) ** (1 / 2.4) - 0.055
