@@ -2,13 +2,11 @@
 """Benchmark: full path-traced frame (BVH + ReSTIR + NEE) at 1080p 1 spp.
 
 Prints one JSON line per workload: {"metric", "value", "unit",
-"vs_baseline", "detail"} — the headline metric first (the driver's
-BENCH_r{N}.json records line 1), then the Sponza-scale (260k-tri) line
-(VERDICT r2 #5: bench the reference's real scene size,
-/root/reference/prototype/src/scenes.rs:102-150), the MC-isosurface
-line (BASELINE config 5), and the remaining BASELINE.md evaluation
-configs 1-4 (RTIOW 256², raster single mesh 512², raster post stack
-1080p, ReSTIR 128 lights 1080p).
+"vs_baseline", "detail"} — the headline metric first (1080p full PT
+frame), then the remaining BASELINE.md evaluation configs ordered
+cheap-first so a budget cut costs the EXPENSIVE lines last (VERDICT r4
+#1a): RTIOW 256², raster single mesh 512², raster post stack 1080p,
+ReSTIR 128 lights 1080p, Sponza-scale 260k 1080p, MC isosurface 1080p.
 Baseline (BASELINE.md): >= 30 fps at 1080p 1 spp on one v5e chip.
 
 Workload = the flagship PT render graph (renderers/__init__.py:
@@ -17,9 +15,15 @@ reset/initial-RIS/temporal/spatial chain over the scene lights, and the
 reference path tracer (5 bounces, sun + reservoir-NEE light rays) with the
 captured-cubemap sky.
 
-Scenes: line 1 = default scene (Sponza stand-in atrium, ~34k triangles,
-10 point lights — models/scenes.py create_scene); line 2 = the 260k-tri
-Sponza-scale proof scene through the DMA-leaf Pallas path.
+Budget discipline (VERDICT r4 #1): each workload compiles exactly ONE
+program chain — the device-loop program (Graph.render_loop) — with no
+host-frame warm-up compile; the parent process holds a GLOBAL deadline
+(RR_BENCH_DEADLINE_S, default 2100 s) and hands late workloads
+RR_BENCH_FAST=1, which times the cheaper-to-compile host frame loop
+instead of the scan program. A real host-loop number beats a missing
+line. Compiled programs land in the persistent XLA cache
+(utils/compile_cache.py), so a warmed cache replays every compile in
+seconds across processes.
 
 Rays/frame counted as traces actually executed per bounce:
 closest-hit + sun any-hit + light closest-hit per pixel, all 5 bounces.
@@ -31,6 +35,46 @@ import json
 import os
 import sys
 import time
+
+
+def _fast_mode() -> bool:
+    return os.environ.get("RR_BENCH_FAST") == "1"
+
+
+def _time_workload(app, width: int, height: int):
+    """Warm up + time either the device loop (default) or the host frame
+    loop (RR_BENCH_FAST=1 — one cheap per-frame compile, VERDICT r4 #1d).
+    Returns (fps, dt_per_frame, compile_s, loop_kind)."""
+    import jax
+
+    t_compile0 = time.perf_counter()
+    if _fast_mode():
+        # Host loop: frame 1 pays env capture + the per-frame program
+        # compile; frames are then timed individually (present_every=0
+        # defers the blocking readback to the end).
+        app.run(num_frames=1, present_every=0)
+        compile_s = time.perf_counter() - t_compile0
+        n_frames = 4 if width <= 512 else 2
+        t0 = time.perf_counter()
+        app.run(num_frames=n_frames, present_every=0)
+        dt = (time.perf_counter() - t0) / n_frames
+        return 1.0 / dt, dt, compile_s, "host"
+
+    # Device loop: the steady-state swapchain analog (Graph.render_loop) —
+    # n_frames full frames in ONE dispatch, persistent buffers donated. The
+    # reference never blocks on a readback inside its frame loop
+    # (vulkan_base.rs:389-424), and neither does this; the one remote-launch
+    # latency (~7-12 ms over the axon tunnel) is amortized across the batch
+    # instead of taxing EVERY frame (VERDICT r3 #2). The warm-up call IS the
+    # compile — no separate host-frame program is ever built (r4 #1b).
+    n_frames = 16 if width <= 512 else 4
+    jax.block_until_ready(app.run_on_device(n_frames))
+    compile_s = time.perf_counter() - t_compile0
+    t0 = time.perf_counter()
+    img = app.run_on_device(n_frames)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / n_frames
+    return 1.0 / dt, dt, compile_s, "device"
 
 
 def run_workload(metric: str, scene_fn, width: int, height: int,
@@ -53,26 +97,8 @@ def run_workload(metric: str, scene_fn, width: int, height: int,
         # extracted, BVH-refit, and traced in the PT scene every frame.
         app.view = app.view.replace(marching_cubes_enabled=np.uint32(1))
 
-    # Warmup: frame 1 includes env capture + compile; frame 2 the steady
-    # graph; then one n-frame loop program compile (the timed workload).
-    t_compile0 = time.perf_counter()
-    app.run(num_frames=2)
-    n_frames = 16 if width <= 512 else 4
-    jax.block_until_ready(app.run_on_device(n_frames))
-    compile_s = time.perf_counter() - t_compile0
+    fps, dt, compile_s, loop = _time_workload(app, width, height)
 
-    # Timed: the steady-state device loop (Graph.render_loop) — n_frames
-    # full frames in ONE dispatch, persistent buffers donated. This is the
-    # swapchain analog: the reference never blocks on a readback inside its
-    # frame loop (vulkan_base.rs:389-424), and neither does this; the one
-    # remote-launch latency (~7-12 ms over the axon tunnel) is amortized
-    # across the batch instead of taxing EVERY frame (VERDICT r3 #2).
-    t0 = time.perf_counter()
-    img = app.run_on_device(n_frames)
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / n_frames
-
-    fps = 1.0 / dt
     # Honest accounting: pt_rays counts ACTIVE traced lanes (terminated paths
     # retire at the degenerate-ray guard and are excluded); the nominal
     # W*H*bounces*3 figure is reported alongside for comparability.
@@ -94,6 +120,7 @@ def run_workload(metric: str, scene_fn, width: int, height: int,
             "lights": app.renderer.get_num_lights(),
             "resolution": f"{width}x{height}",
             "compile_s": round(compile_s, 1),
+            "loop": loop,
             "device": str(jax.devices()[0]),
             "restir": ("initial+temporal+spatial"
                        if app.renderer.get_num_lights() > 0
@@ -107,7 +134,6 @@ def run_raster_workload(metric: str, scene_fn, width: int, height: int) -> dict:
     4-cascade CSM + SSAO + IBL + deferred PBR + RT shadows/reflections +
     atmosphere + FXAA present."""
     import jax
-    import numpy as np
 
     from rust_renderer_tpu.app.main import Application
     from rust_renderer_tpu.settings import RenderGraphMode, StaticConfig
@@ -120,21 +146,10 @@ def run_raster_workload(metric: str, scene_fn, width: int, height: int) -> dict:
     app = Application(width, height, RenderGraphMode.RASTERIZED, cfg)
     app.create_scene(scene_fn)
 
-    t_compile0 = time.perf_counter()
-    app.run(num_frames=2)
-    n_frames = 16 if width <= 512 else 4
-    jax.block_until_ready(app.run_on_device(n_frames))
-    compile_s = time.perf_counter() - t_compile0
+    # RASTERIZED frames carry no cross-frame state; render_loop's carried
+    # checksum keeps every scanned iteration live (XLA cannot elide frames).
+    fps, dt, compile_s, loop = _time_workload(app, width, height)
 
-    # Timed device loop (see run_workload). RASTERIZED frames carry no
-    # cross-frame state; render_loop's carried checksum keeps every scanned
-    # iteration live (XLA cannot elide frames).
-    t0 = time.perf_counter()
-    img = app.run_on_device(n_frames)
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / n_frames
-
-    fps = 1.0 / dt
     return {
         "metric": metric,
         "value": round(fps, 3),
@@ -145,6 +160,7 @@ def run_raster_workload(metric: str, scene_fn, width: int, height: int) -> dict:
             "triangles": int(app.scene.indices.shape[0]),
             "resolution": f"{width}x{height}",
             "compile_s": round(compile_s, 1),
+            "loop": loop,
             "device": str(jax.devices()[0]),
             "passes": "gbuffer+csm4+ssao+ibl+deferred+rt_shadows"
                       "+rt_reflections+atmosphere+fxaa",
@@ -176,8 +192,8 @@ def _wait_for_device(budget_s: float) -> bool:
         if ok:
             return True
         if time.monotonic() >= deadline:
-            print(f"bench: no TPU after {attempt} probes; emitting zero "
-                  "lines", file=sys.stderr, flush=True)
+            print(f"bench: no TPU after {attempt} probes", file=sys.stderr,
+                  flush=True)
             return False
         time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
 
@@ -192,16 +208,9 @@ def _workloads(width: int, height: int) -> dict:
         # Headline (BASELINE north star): 1080p full PT frame, 1 spp.
         "pathtrace_graph_1080p_1spp_fps": (
             "run_workload", "create_scene", dict(width=width, height=height)),
-        "pathtrace_sponza_scale_260k_1080p_1spp_fps": (
-            "run_workload", "create_sponza_scale_scene",
-            dict(width=width, height=height)),
-        # BASELINE config 5 (VERDICT r2 #4): PT + BVH + ReSTIR + animated
-        # marching-cubes isosurface.
-        "pathtrace_mc_isosurface_1080p_1spp_fps": (
-            "run_workload", "create_scene",
-            dict(width=width, height=height, mc=True)),
         # Config 1: RTIOW sphere scene @ 256x256 1 spp (CPU-reference RMSE
-        # parity is asserted by tests/test_pathtrace.py, not re-run here).
+        # parity is asserted by tests/test_pathtrace_golden.py, not re-run
+        # here).
         "rtiow_pathtrace_256_1spp_fps": (
             "run_workload", "create_rtiow_scene", dict(width=256, height=256)),
         # Config 2: raster mode, single glTF-style mesh, vertex transform +
@@ -219,22 +228,33 @@ def _workloads(width: int, height: int) -> dict:
         "restir_128_lights_sponza_1080p_fps": (
             "run_workload", "create_restir_many_lights_scene",
             dict(width=width, height=height)),
+        # Sponza-scale proof scene (VERDICT r2 #5): 260k tris through the
+        # DMA-leaf Pallas path — the largest compile, second-to-last.
+        "pathtrace_sponza_scale_260k_1080p_1spp_fps": (
+            "run_workload", "create_sponza_scale_scene",
+            dict(width=width, height=height)),
+        # BASELINE config 5 (VERDICT r2 #4): PT + BVH + ReSTIR + animated
+        # marching-cubes isosurface (batched-refit device loop).
+        "pathtrace_mc_isosurface_1080p_1spp_fps": (
+            "run_workload", "create_scene",
+            dict(width=width, height=height, mc=True)),
     }
 
 
 def _selected_metrics() -> list[str]:
-    metrics = ["pathtrace_graph_1080p_1spp_fps"]
+    metrics = [
+        "pathtrace_graph_1080p_1spp_fps",
+        "rtiow_pathtrace_256_1spp_fps",
+        "raster_single_mesh_512_fps",
+        "raster_post_stack_sponza_1080p_fps",
+        "restir_128_lights_sponza_1080p_fps",
+    ]
+    if os.environ.get("RR_BENCH_SKIP_CONFIGS") == "1":
+        metrics = metrics[:1]
     if os.environ.get("RR_BENCH_SKIP_SCALE") != "1":
         metrics.append("pathtrace_sponza_scale_260k_1080p_1spp_fps")
     if os.environ.get("RR_BENCH_SKIP_MC") != "1":
         metrics.append("pathtrace_mc_isosurface_1080p_1spp_fps")
-    if os.environ.get("RR_BENCH_SKIP_CONFIGS") != "1":
-        metrics += [
-            "rtiow_pathtrace_256_1spp_fps",
-            "raster_single_mesh_512_fps",
-            "raster_post_stack_sponza_1080p_fps",
-            "restir_128_lights_sponza_1080p_fps",
-        ]
     return metrics
 
 
@@ -276,15 +296,34 @@ def main() -> int:
             return 0
         return _run_one(only, width, height)
 
-    # Parent: one child process per workload (compile caches persist across
-    # processes, so the only repeated cost is interpreter startup).
-    budget_s = float(os.environ.get("RR_BENCH_WORKLOAD_TIMEOUT_S", "2400"))
+    # Parent: one child process per workload (the persistent XLA cache makes
+    # repeat compiles cheap across processes; a worker fault only loses one
+    # line). Global deadline (VERDICT r4 #1): late workloads downgrade to
+    # the host loop (cheaper compile), and the parent never exceeds its
+    # budget waiting on one stuck child.
+    deadline = time.monotonic() + float(
+        os.environ.get("RR_BENCH_DEADLINE_S", "2100"))
+    per_cap = float(os.environ.get("RR_BENCH_WORKLOAD_TIMEOUT_S", "900"))
+    # The tunnel wait happens ONCE here; children get a short re-check.
+    _wait_for_device(min(900.0, max(60.0, deadline - time.monotonic())))
     for metric in _selected_metrics():
-        env = dict(os.environ, RR_BENCH_ONLY=metric)
+        remaining = deadline - time.monotonic()
+        if remaining < 90.0:
+            print(json.dumps({
+                "metric": metric, "value": 0.0, "unit": "fps",
+                "vs_baseline": 0.0,
+                "detail": {"error": "bench deadline exhausted before this "
+                                    "workload started"},
+            }), flush=True)
+            continue
+        env = dict(os.environ, RR_BENCH_ONLY=metric, RR_BENCH_WAIT_S="150")
+        if remaining < 420.0 and not _fast_mode():
+            env["RR_BENCH_FAST"] = "1"  # host-loop timing, small compile
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=budget_s,
+                capture_output=True, text=True,
+                timeout=min(per_cap, remaining),
             ).stdout
         except subprocess.TimeoutExpired as e:
             out = (e.stdout or b"").decode() if isinstance(
@@ -294,7 +333,7 @@ def main() -> int:
                     "metric": metric, "value": 0.0, "unit": "fps",
                     "vs_baseline": 0.0,
                     "detail": {"error": f"workload timeout after "
-                                        f"{budget_s:.0f}s"},
+                                        f"{min(per_cap, remaining):.0f}s"},
                 }) + "\n"
         emitted = False
         for line in out.splitlines():

@@ -251,11 +251,17 @@ class Application:
             self._refresh_view()
             self._ensure_environment()
             self._build_graph()
-            if any(p.isolated for p in self.graph.passes):
-                # Isolated passes exist precisely because fusing them into
-                # one XLA program is a TPU-worker crash mode (the 164k-slot
-                # marching-cubes extract — see PassBuilder.isolate); a scan
-                # body is one program, so fall back to the host frame loop.
+            iso = [p.isolated for p in self.graph.passes]
+            n_prefix = 0
+            while n_prefix < len(iso) and iso[n_prefix]:
+                n_prefix += 1
+            if any(iso[n_prefix:]):
+                # A LEADING run of isolated passes is supported by
+                # render_loop (batched over frames in its own program —
+                # the marching-cubes extract/refit chain rides this); an
+                # isolated pass sandwiched between non-isolated ones is
+                # not, because its body would have to re-enter the scan.
+                # Fall back to the host frame loop for those graphs.
                 import logging
 
                 logging.getLogger(__name__).info(

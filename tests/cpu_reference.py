@@ -389,7 +389,12 @@ def render_tris(
 
             color = np.where((mt == 0)[:, None], albedo_t[safe], 1.0)
             dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
-            lam_dir = nrm + us
+            # Degenerate-direction guard (advisor r4): when the unit-sphere
+            # sample nearly cancels the normal, fall back to the normal so the
+            # next bounce's normalization can't inject NaN into the golden.
+            lam_raw = nrm + us
+            lam_deg = np.linalg.norm(lam_raw, axis=-1, keepdims=True) < 1e-8
+            lam_dir = np.where(lam_deg, nrm, lam_raw)
             metal_dir = _reflect(dn, nrm) + prop_t[safe][:, None] * us
             eta = 1.0 / np.maximum(prop_t[safe], 1e-6)
             cos_t = np.minimum(np.sum(-dn * nrm, -1), 1.0)

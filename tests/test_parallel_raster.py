@@ -53,7 +53,7 @@ def _render(setup_vals, builder, mesh=None):
     cam, scene, b, view, sun = setup_vals
     g = rt.Graph()
     if mesh is not None:
-        g.shard_image_rows(mesh, H)
+        g.shard_image_rows(mesh, H, W)
     g.new_frame(); g.clear()
     builder(g, CFG, cam, b, sun)
     return g.render(scene, view)

@@ -8,7 +8,6 @@ scenes (the sole consumer); these scenes don't enable MC.
 """
 
 import numpy as np
-import pytest
 
 import rust_renderer_tpu as rt
 from rust_renderer_tpu.app.main import Application
@@ -109,8 +108,96 @@ def test_raster_loop_matches_host_frame():
     assert np.median(diff) < 2e-5
 
 
-def test_loop_rejects_sanitize():
+def test_mc_loop_matches_host_loop():
+    """BASELINE config 5 on the device loop (VERDICT r4 #2): the
+    marching-cubes extract/refit chain is a leading ISOLATED prefix, so
+    render_loop batches it over all frames in its own program (lax.map,
+    stacked tables) and the PT scan indexes the stacks at frame k — no
+    host-loop fallback, same images as the host loop."""
+    n = 2
+    cfg = CFG.replace(mc_grid=8)
+
+    def make():
+        app = Application(W, H, RenderGraphMode.PATH_TRACED, cfg)
+        app.create_scene(_tiny_scene)
+        app.fps_timer.elapsed_seconds = lambda: 0.0
+        app.view = app.view.replace(marching_cubes_enabled=np.uint32(1))
+        return app
+
+    host = make()
+    host.run(num_frames=n, present_every=0)
+
+    loop = make()
+    host_frames = 0
+    orig = loop.render_frame
+
+    def counting_render_frame(*a, **k):
+        nonlocal host_frames
+        host_frames += 1
+        return orig(*a, **k)
+
+    loop.render_frame = counting_render_frame
+    img = loop.run_on_device(n, tstep=0.0)
+    assert host_frames == 0, "MC graph fell back to the host loop"
+    np.testing.assert_allclose(
+        np.asarray(host.graph.state["accumulation_image"]),
+        np.asarray(loop.graph.state["accumulation_image"]),
+        rtol=2e-5, atol=2e-5,
+    )
+    assert host.total_samples == loop.total_samples == n
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_mc_loop_animates_across_frames():
+    """With tstep > 0 the batched prefix must hand each scanned frame ITS
+    OWN refit tables (the pulsing SDF changes the draw count), not frame
+    0's."""
+    cfg = CFG.replace(mc_grid=8)
+    app = Application(W, H, RenderGraphMode.PATH_TRACED, cfg)
+    app.create_scene(_tiny_scene)
+    app.fps_timer.elapsed_seconds = lambda: 0.0
+    app.view = app.view.replace(marching_cubes_enabled=np.uint32(1))
+    app.run_on_device(2, tstep=2.0)
+    # Recompute the two extracts the prefix program should have produced.
+    from rust_renderer_tpu.ops import marching_cubes as mc_ops
+
+    counts = []
+    for t in (0.0, 2.0):
+        r = mc_ops.marching_cubes(grid=8, voxel_size=32.0 / 8,
+                                  time=np.float32(t))
+        counts.append(int(np.asarray(r.vertex_count)))
+    assert counts[0] != counts[1], "SDF did not animate — test is vacuous"
+
+
+def test_loop_sanitize_counts_nonfinite():
+    """Sanitize on the device loop (VERDICT r4 #7): per-(pass, resource)
+    non-finite counts ride the scan carry and are summed over the N frames
+    — the production path and the validation-layer analog are no longer
+    mutually exclusive."""
+    import jax.numpy as jnp
+
+    g = rt.Graph(sanitize=True)
+    g.create_texture("present_output", 8, 8, 3)
+    g.create_texture("aux", 8, 8, 1)
+
+    def bad(res, scene, view, u):
+        img = jnp.zeros((8, 8, 3), jnp.float32).at[0, 0, 0].set(jnp.nan)
+        return {"present_output": img,
+                "aux": jnp.zeros((8, 8), jnp.float32)}
+
+    g.new_frame(); g.clear()
+    g.add_pass("bad").write("present_output").write("aux").render(bad).build()
+    from rust_renderer_tpu.settings import RenderSettings
+
+    g.render_loop(None, RenderSettings.default(), 3)
+    assert g.last_sanitizer_report == {"bad/present_output": 3}
+
+
+def test_loop_sanitize_app_clean():
+    """A clean scene through --sanitize + run_on_device reports nothing."""
     app = Application(W, H, RenderGraphMode.PATH_TRACED, CFG, sanitize=True)
     app.create_scene(_tiny_scene)
-    with pytest.raises(AssertionError):
-        app.run_on_device(2)
+    app.fps_timer.elapsed_seconds = lambda: 0.0
+    img = app.run_on_device(2, tstep=0.0)
+    assert np.isfinite(np.asarray(img)).all()
+    assert app.graph.last_sanitizer_report == {}
