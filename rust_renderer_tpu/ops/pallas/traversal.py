@@ -1567,7 +1567,10 @@ def _make_kernel_wide_row32(leaf_size: int, any_hit: bool, drain: int,
 
 def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                           expand: int, dma_leaf: bool = False,
-                          overflow_stats: bool = False):
+                          overflow_stats: bool = False,
+                          cursor_kill: bool = False,
+                          skip_expand: bool = False,
+                          phase_stats: bool = False):
     """Row-cursor traversal: EIGHT independent walk cursors per block, one
     per (1,128) sublane row of the packet.
 
@@ -1609,9 +1612,11 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
     from rust_renderer_tpu.ops.bvh import WIDE_WIDTH as W
     assert W == 16
 
+    assert not (overflow_stats and phase_stats)
+
     def kernel(node_ref, leaf_ref, meta_ref, o_ref, d_ref, tlim_ref,
                t_out, prim_out, u_out, v_out, *rest):
-        if overflow_stats:
+        if overflow_stats or phase_stats:
             ovf_out, rest = rest[0], rest[1:]
         stack_ref, queue_ref = rest[0], rest[1]
         rowbuf_ref = rest[2] if dma_leaf else None
@@ -1755,7 +1760,41 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
             best_t, best_prim, best_u, best_v, done = state[16:21]
             so_cnt = state[21] if overflow_stats else None
             qo_cnt = state[22] if overflow_stats else None
+            if phase_stats:
+                it_cnt, ld_cnt, le_cnt, se_cnt, qe_cnt = state[21:26]
+                it_cnt = it_cnt + 1
+                pre_stack = sps[0]
+                for g in range(1, 8):
+                    pre_stack = pre_stack | sps[g]
+                se_cnt = se_cnt + (pre_stack == 0).astype(jnp.int32)
             not_done = done == 0
+
+            if cursor_kill:
+                # Any-hit cursor kill (VERDICT r4 #3c): a cursor whose 128
+                # lanes are ALL retired (occluded/degenerate) finds nothing
+                # more, but still pops its remaining stack one BIT per
+                # iteration — and the while loop runs to the slowest
+                # cursor. Clearing its stack+queue removes it from that
+                # max. Cost: 7 lane-rolls + 8 scalar extracts/iteration.
+                al = not_done.astype(jnp.int32)
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    al = al | pltpu.roll(al, s, axis=1)
+                for g in range(8):
+                    alive_g = al[g, 0] != 0
+                    sps[g] = jnp.where(alive_g, sps[g], 0)
+                    qns[g] = jnp.where(alive_g, qns[g], 0)
+
+            if skip_expand:
+                # Leaf-tail phase detector (VERDICT r4 #3): on divergent
+                # fronts the per-cursor iteration bound is the LEAF term —
+                # stacks empty out while queues keep draining, and every
+                # tail iteration still pays the full expand (16 node-row
+                # fetches + 32 slab columns) against node 0 for nothing.
+                # One scalar branch skips that vector work.
+                have_stack = sps[0]
+                for g in range(1, 8):
+                    have_stack = have_stack | sps[g]
+                have_stack = have_stack > 0
 
             # Pops: per expand slot, each cursor decodes one bit off its
             # top stack entry (ptr<<16 | hitmask; masks bit-reversed so the
@@ -1781,6 +1820,8 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                     st_int = meta_ref[3 * pn + 2] & jnp.int32(0xFFFF)
                     child = meta_ref[3 * pn] - _pc16(st_int & (low - 1))
                     ptrs.append((jnp.where(has, child, 0), has))
+                    if phase_stats:
+                        le_cnt = le_cnt + has.astype(jnp.int32)
                 exp_ptrs.append(ptrs)
 
             # Expands: one (8, cols) gathered node tile per expand slot;
@@ -1788,56 +1829,71 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
             # Slots 0-1 pack into one int32 per sublane; slots 2+ fill a
             # SECOND packed word (int32 shifts >= 32 would silently drop
             # hits — caught by test_pallas_row_cursor_expand3).
-            packed = jnp.zeros((8, 128), jnp.int32)
-            packed_b = jnp.zeros((8, 128), jnp.int32) if expand > 2 else None
-            for e in range(expand):
-                rows = jnp.concatenate(
-                    [node_ref[pl.ds(exp_ptrs[e][g][0], 1)] for g in range(8)],
-                    axis=0)
-                for c in range(W):
-                    hit = slab_cols(rows, c, best_t, not_done)
-                    # bit-reversed position, expand e in bits [16e, 16e+16)
-                    if e < 2:
-                        packed = packed | (
-                            hit.astype(jnp.int32) << (e * W + (W - 1 - c)))
-                    else:
-                        packed_b = packed_b | (
-                            hit.astype(jnp.int32)
-                            << ((e - 2) * W + (W - 1 - c)))
-            for s in (1, 2, 4, 8, 16, 32, 64):
-                packed = packed | pltpu.roll(packed, s, axis=1)
-                if packed_b is not None:
-                    packed_b = packed_b | pltpu.roll(packed_b, s, axis=1)
+            def _expand_words():
+                packed = jnp.zeros((8, 128), jnp.int32)
+                packed_b = (jnp.zeros((8, 128), jnp.int32)
+                            if expand > 2 else None)
+                for e in range(expand):
+                    rows = jnp.concatenate(
+                        [node_ref[pl.ds(exp_ptrs[e][g][0], 1)]
+                         for g in range(8)],
+                        axis=0)
+                    for c in range(W):
+                        hit = slab_cols(rows, c, best_t, not_done)
+                        # bit-reversed position, expand e in [16e, 16e+16)
+                        if e < 2:
+                            packed = packed | (
+                                hit.astype(jnp.int32)
+                                << (e * W + (W - 1 - c)))
+                        else:
+                            packed_b = packed_b | (
+                                hit.astype(jnp.int32)
+                                << ((e - 2) * W + (W - 1 - c)))
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    packed = packed | pltpu.roll(packed, s, axis=1)
+                    if packed_b is not None:
+                        packed_b = packed_b | pltpu.roll(packed_b, s, axis=1)
 
-            # Mask extraction: expand=2 fills int32 per sublane (8 extracts);
-            # expand=1 pairs sublanes into 4 words; expand=3/4 adds the
-            # second word's extracts (paired when only slot 2 is present).
-            words = {}
-            words_b = {}
-            if expand >= 2:
-                for g in range(8):
-                    words[g] = packed[g, 0]
+                # Mask extraction: expand=2 fills int32 per sublane (8
+                # extracts); expand=1 pairs sublanes into 4 words; 3/4 add
+                # the second word's extracts (paired when only slot 2 is
+                # present).
+                ws = []
+                if expand >= 2:
+                    for g in range(8):
+                        ws.append(packed[g, 0])
+                else:
+                    rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                    hi = jnp.where(rid % 2 == 1, packed << 16, 0)
+                    lo = jnp.where(rid % 2 == 0, packed, 0)
+                    comb = lo | pltpu.roll(hi, 7, axis=0)
+                    for g2 in range(0, 8, 2):
+                        w = comb[g2, 0]
+                        ws.append(w & jnp.int32(0xFFFF))
+                        ws.append(lsr(w, 16))
+                if expand == 4:
+                    for g in range(8):
+                        ws.append(packed_b[g, 0])
+                elif expand == 3:
+                    rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                    hi = jnp.where(rid % 2 == 1, packed_b << 16, 0)
+                    lo = jnp.where(rid % 2 == 0, packed_b, 0)
+                    comb = lo | pltpu.roll(hi, 7, axis=0)
+                    for g2 in range(0, 8, 2):
+                        w = comb[g2, 0]
+                        ws.append(w & jnp.int32(0xFFFF))
+                        ws.append(lsr(w, 16))
+                return tuple(ws)
+
+            n_words = 8 if expand <= 2 else 16
+            if skip_expand:
+                ws = jax.lax.cond(
+                    have_stack, _expand_words,
+                    lambda: tuple(jnp.int32(0) for _ in range(n_words)))
             else:
-                rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-                hi = jnp.where(rid % 2 == 1, packed << 16, 0)
-                lo = jnp.where(rid % 2 == 0, packed, 0)
-                comb = lo | pltpu.roll(hi, 7, axis=0)
-                for g2 in range(0, 8, 2):
-                    w = comb[g2, 0]
-                    words[g2] = w & jnp.int32(0xFFFF)
-                    words[g2 + 1] = lsr(w, 16)
-            if expand == 4:
-                for g in range(8):
-                    words_b[g] = packed_b[g, 0]
-            elif expand == 3:
-                rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-                hi = jnp.where(rid % 2 == 1, packed_b << 16, 0)
-                lo = jnp.where(rid % 2 == 0, packed_b, 0)
-                comb = lo | pltpu.roll(hi, 7, axis=0)
-                for g2 in range(0, 8, 2):
-                    w = comb[g2, 0]
-                    words_b[g2] = w & jnp.int32(0xFFFF)
-                    words_b[g2 + 1] = lsr(w, 16)
+                ws = _expand_words()
+            words = {g: ws[g] for g in range(8)}
+            words_b = {g: ws[8 + g] for g in range(8)} if expand > 2 else {}
 
             # Pushes: ONE entry per expanded node per kind (internal mask
             # to the stack, leaf mask to the queue) — no per-child scalars.
@@ -1890,12 +1946,19 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
             # its top queue entry (empty queues test the dead row). Pops
             # for ALL slots run first so DMA mode can overlap every fetch.
             args = (best_t, best_prim, best_u, best_v, done)
+            if phase_stats:
+                pre_q = qns[0]
+                for g in range(1, 8):
+                    pre_q = pre_q | qns[g]
+                qe_cnt = qe_cnt + (pre_q == 0).astype(jnp.int32)
             slot_rows = []
             for _k in range(drain):
                 rows_idx = []
                 for g in range(8):
                     qn = qns[g]
                     has = qn > 0
+                    if phase_stats:
+                        ld_cnt = ld_cnt + has.astype(jnp.int32)
                     ent = queue_ref[g, jnp.maximum(qn - 1, 0)]
                     m = ent & jnp.int32(0xFFFF)
                     m = jnp.where(has, m, 0)
@@ -1935,7 +1998,11 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                         axis=0)
                     args = tri_tests_cols(lrows, args)
             best_t, best_prim, best_u, best_v, done = args
-            tail = (so_cnt, qo_cnt) if overflow_stats else ()
+            tail = ()
+            if overflow_stats:
+                tail = (so_cnt, qo_cnt)
+            elif phase_stats:
+                tail = (it_cnt, ld_cnt, le_cnt, se_cnt, qe_cnt)
             return (*sps, *qns, best_t, best_prim, best_u, best_v, done,
                     *tail)
 
@@ -1949,6 +2016,8 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
         )
         if overflow_stats:
             init = init + (jnp.int32(0), jnp.int32(0))
+        elif phase_stats:
+            init = init + tuple(jnp.int32(0) for _ in range(5))
         out = jax.lax.while_loop(cond, body, init)
         best_t, best_prim, best_u, best_v = out[16:20]
         t_out[0] = jnp.where(best_prim >= 0, best_t, 3.0e38)
@@ -1961,6 +2030,16 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
             rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             ovf_out[0] = jnp.where(
                 rid == 0, out[21], jnp.where(rid == 1, out[22], 0))
+        elif phase_stats:
+            # Phase diagnostics (VERDICT r4 #3): row 0 = iterations, row 1
+            # = live drain pops (of iters*8*drain slots), row 2 = live
+            # expand pops (of iters*8*expand), row 3 = all-stacks-empty
+            # iterations, row 4 = all-queues-empty iterations.
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            acc = jnp.zeros((8, 128), jnp.int32)
+            for r, val in enumerate(out[21:26]):
+                acc = jnp.where(rid == r, val, acc)
+            ovf_out[0] = acc
 
     return kernel
 
@@ -2407,14 +2486,15 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
         "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
         "steady_drain", "drain_first", "row_cursors", "row_expand",
-        "overflow_stats", "q32",
+        "overflow_stats", "q32", "cursor_kill", "skip_expand", "phase_stats",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          ordered=False, stack_size=64, wide=False, stats=False, multi=1,
          dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False,
          steady_drain=0, drain_first=False, row_cursors=0, row_expand=2,
-         meta=None, overflow_stats=False, q32=False, q32_perm=None):
+         meta=None, overflow_stats=False, q32=False, q32_perm=None,
+         cursor_kill=False, skip_expand=False, phase_stats=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -2480,8 +2560,10 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
                 q32_perm, o, d, tlim)
         kernel = _make_kernel_wide_row(
             leaf_size, any_hit, rd, row_expand, dma_leaf=dma_leaf,
-            overflow_stats=overflow_stats)
-        if overflow_stats:
+            overflow_stats=overflow_stats,
+            cursor_kill=cursor_kill and any_hit, skip_expand=skip_expand,
+            phase_stats=phase_stats)
+        if overflow_stats or phase_stats:
             out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.int32))
             out_specs = out_specs + [out_block]
         in_specs.insert(2, pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -2559,7 +2641,10 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            leaf_queue: int = 0, mask_via_vmem: bool = False,
                            steady_drain: int = 0, drain_first: bool = False,
                            row_cursors: int = 0, row_expand: int = 2,
-                           overflow_stats: bool = False, q32: bool = False):
+                           overflow_stats: bool = False, q32: bool = False,
+                           cursor_kill: bool = False,
+                           skip_expand: bool = False,
+                           phase_stats: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
     wide=True (default) walks the collapsed BVH8 (bvh.wnode_packed) with a
@@ -2687,6 +2772,8 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         row_expand=row_expand, meta=meta,
         overflow_stats=overflow_stats and row_active and not q32,
         q32=bool(q32) and row_active, q32_perm=q32_perm,
+        cursor_kill=cursor_kill, skip_expand=skip_expand,
+        phase_stats=phase_stats and row_active and not q32,
     )
     if stats:
         t, prim, u, v, st = out
@@ -2701,6 +2788,15 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         if row_active and not q32:
             t, prim, u, v, ovf = out
             return unpack(t), unpack(prim), unpack(u), unpack(v), ovf
+        t, prim, u, v = out
+        return unpack(t), unpack(prim), unpack(u), unpack(v), None
+    if phase_stats:
+        # 5th value (row kernel only): (B, 8, 128) int32, lane 0 of rows
+        # 0-4 = [iterations, live drain pops, live expand pops,
+        # all-stacks-empty iters, all-queues-empty iters] per block.
+        if row_active and not q32:
+            t, prim, u, v, ph = out
+            return unpack(t), unpack(prim), unpack(u), unpack(v), ph
         t, prim, u, v = out
         return unpack(t), unpack(prim), unpack(u), unpack(v), None
     t, prim, u, v = out

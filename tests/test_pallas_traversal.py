@@ -232,6 +232,32 @@ def test_pallas_row_cursor_matches():
     np.testing.assert_array_equal(np.asarray(pa) >= 0, np.asarray(pb) >= 0)
 
 
+def test_pallas_row_cursor_kill_and_skip_expand():
+    """The two leaf-term levers (VERDICT r4 #3) stay EXACT: cursor_kill
+    clears all-done sublanes' stacks/queues (any-hit semantics only —
+    'done' is terminal there), and skip_expand branches around the expand
+    vector work when every stack is empty (words are provably zero then).
+    Both must reproduce the baseline kernel bit-for-bit."""
+    b = _soup_bvh(n=24, seed=31)
+    o, d = _rays(seed=32)
+    # Make some packets retire early so cursor_kill actually fires.
+    d = d.at[:256].set(0.0)
+    t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
+    hit = np.asarray(p2) >= 0
+    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8,
+                                    skip_expand=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                               rtol=1e-6)
+    tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
+    for kw in (dict(cursor_kill=True), dict(cursor_kill=True,
+                                            skip_expand=True)):
+        ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True,
+                                        row_cursors=8, **kw)
+        np.testing.assert_array_equal(np.asarray(pa) >= 0,
+                                      np.asarray(pb) >= 0)
+
+
 def test_pallas_row_cursor_expand3():
     """expand>=3 packs hit bits into a SECOND word (int32 shifts >= 32
     silently drop the third expansion's hits — this caught a real bug:

@@ -162,6 +162,12 @@ def main():
     ap.add_argument("--stats", action="store_true",
                     help="report per-block pop / leaf-pop counts instead of "
                          "timings (single-pop wide vs dual-pop)")
+    ap.add_argument("--phase", action="store_true",
+                    help="row-cursor phase diagnostics on the production "
+                         "composition (morton win64 + wrc e2 d3): iteration "
+                         "counts, drain/expand slot utilization, and "
+                         "all-empty phase fractions per front (VERDICT r4 "
+                         "#3 — where is the leaf-term waste?)")
     args = ap.parse_args()
     n = args.size
 
@@ -185,6 +191,56 @@ def main():
         )
         for ln in {_leaf_n(v) for v in variants} - {None}
     }
+
+    if args.phase:
+        from rust_renderer_tpu.ops import compaction
+
+        def phase(o, d, tmin, tmax, any_hit):
+            captured = {}
+
+            def trav(bvh_, oc, dc, tmn, tmx, **kw):
+                t, p, u, v, ph = traverse_packet_pallas(
+                    bvh_, oc, dc, tmn, tmx, row_cursors=8, row_expand=2,
+                    steady_drain=3, phase_stats=True, **kw)
+                captured["ph"] = np.asarray(ph)
+                return t, p, u, v
+
+            compaction.traverse_compacted(
+                bvh, o, d, tmin, tmax, window_blocks=64, method="sort",
+                order="morton", any_hit=any_hit, trav=trav)
+            ph = captured["ph"]
+            iters = ph[:, 0, 0].astype(np.float64)
+            ld = ph[:, 1, 0].astype(np.float64)
+            le = ph[:, 2, 0].astype(np.float64)
+            se = ph[:, 3, 0].astype(np.float64)
+            qe = ph[:, 4, 0].astype(np.float64)
+            tot = np.maximum(iters, 1)
+            return dict(
+                it_mean=iters.mean(), it_p90=np.percentile(iters, 90),
+                it_max=iters.max(),
+                drain_util=(ld.sum() / max((iters * 8 * 3).sum(), 1)),
+                exp_util=(le.sum() / max((iters * 8 * 2).sum(), 1)),
+                se_frac=(se / tot).mean(), qe_frac=(qe / tot).mean(),
+            )
+
+        print(f"== row-cursor phase stats (morton win64 wrc e2 d3, {n}x{n}) ==")
+        print("front  active%  iters(mean/p90/max)  drain-util exp-util "
+              "stack-empty queue-empty")
+        for b, (o, d, frac) in enumerate(closest_fronts):
+            s = phase(o, d, 1e-3, 1e4, False)
+            print(f"closest b{b} {frac*100:5.1f}% {s['it_mean']:7.1f}/"
+                  f"{s['it_p90']:6.0f}/{s['it_max']:6.0f} "
+                  f"{s['drain_util']*100:8.1f}% {s['exp_util']*100:7.1f}% "
+                  f"{s['se_frac']*100:8.1f}% {s['qe_frac']*100:8.1f}%",
+                  flush=True)
+        for b, (o2, d2, tmax2, frac) in enumerate(nee_fronts):
+            s = phase(o2, d2, 1e-3, tmax2, True)
+            print(f"anyhit  b{b} {frac*100:5.1f}% {s['it_mean']:7.1f}/"
+                  f"{s['it_p90']:6.0f}/{s['it_max']:6.0f} "
+                  f"{s['drain_util']*100:8.1f}% {s['exp_util']*100:7.1f}% "
+                  f"{s['se_frac']*100:8.1f}% {s['qe_frac']*100:8.1f}%",
+                  flush=True)
+        return
 
     if args.stats:
         def pops(o, d, tmin, tmax, any_hit, dual):
@@ -272,17 +328,25 @@ def main():
                 row_cursors=8, row_expand=int(ex),
                 steady_drain=int(dr or 3), q32=True)
         if v.startswith("wrc") and "e" in v[3:]:
-            # wrc<W>e<E>[d<D>]: morton windowed compaction + ROW-CURSOR
-            # kernel (8 per-sublane cursors, mask-entry stacks), expand E,
-            # drain D (default 3).
+            # wrc<W>e<E>[d<D>][k][x]: morton windowed compaction +
+            # ROW-CURSOR kernel (8 per-sublane cursors, mask-entry stacks),
+            # expand E, drain D (default 3). Suffix k = any-hit cursor
+            # kill (all-done sublanes drop their stack/queue); suffix x =
+            # expand-skip (leaf-tail iterations branch around the node
+            # fetch + slab work). VERDICT r4 #3 leaf-term levers.
             from rust_renderer_tpu.ops import compaction
             wb, rest = v[3:].split("e")
             ex, _, dr = rest.partition("d")
+            flags = ""
+            while dr and dr[-1] in "kx":
+                flags += dr[-1]
+                dr = dr[:-1]
             return compaction.traverse_compacted(
                 bvh, o, d, tmin, tmax, window_blocks=int(wb),
                 method="sort", order="morton", any_hit=any_hit,
                 row_cursors=8, row_expand=int(ex),
-                steady_drain=int(dr or 3))
+                steady_drain=int(dr or 3),
+                cursor_kill="k" in flags, skip_expand="x" in flags)
         if v.startswith("rc"):
             # rc<E>: plain row-cursor kernel, no compaction
             return traverse_packet_pallas(
