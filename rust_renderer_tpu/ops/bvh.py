@@ -1366,7 +1366,8 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                     drain_first: bool = False,
                     compact_order: str = "morton",
                     row_cursors: int = 0, row_expand: int = 2,
-                    q32: bool = False):
+                    q32: bool = False, skip_expand: bool = False,
+                    skip_drain: bool = False):
     if sort:
         return traverse_packet_sorted
     mode = _pallas_mode(bvh, wide=wide) if packet else "none"
@@ -1381,7 +1382,9 @@ def _pick_traversal(bvh: BVH, packet: bool, sort: bool,
                                  steady_drain=steady_drain,
                                  drain_first=drain_first,
                                  row_cursors=row_cursors,
-                                 row_expand=row_expand, q32=q32)
+                                 row_expand=row_expand, q32=q32,
+                                 skip_expand=skip_expand,
+                                 skip_drain=skip_drain)
         if compact_window > 1:
             from rust_renderer_tpu.ops.compaction import traverse_compacted
 
@@ -1397,7 +1400,7 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                      compact_window: int = 0, steady_drain: int = 3,
                      compact_order: str = "morton",
                      row_cursors: int = 8, row_expand: int = 2,
-                     q32: bool = False):
+                     q32: bool = False, skip_drain: bool = True):
     """closest_hit(scene, o, d, t_min, t_max) -> Hit, BVH for triangles plus
     the scene's analytic spheres (signature-compatible with
     intersect.closest_hit_bruteforce so ops/pathtrace.py can swap backends).
@@ -1426,13 +1429,17 @@ def make_closest_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     (tools/bench_fronts.py wrc64e2 vs prod wsm64d3, real 1024² fronts):
     closest b1-b4 0.53-0.57x, camera front par. Falls back to steady-drain
     automatically for trees without collapse metadata, DMA-leaf scale, or
-    >64k wide nodes. row_expand=2 (measured best vs 1) expansions/iter."""
+    >64k wide nodes. row_expand=2 (measured best vs 1) expansions/iter.
+    skip_drain=True (round-5 default, tools/bench_fronts.py wrc64e2d3y):
+    all-queues-empty iterations branch around the drain's 3x12-slot MT
+    passes (phase stats measured drain slot utilization 27-54%); exact,
+    measured -6..-13% on every closest front."""
     trav = _pick_traversal(bvh, packet, sort, wide, ordered,
                            dual=steady_drain > 0, steady_drain=steady_drain,
                            compact_window=compact_window,
                            compact_order=compact_order,
                            row_cursors=row_cursors, row_expand=row_expand,
-                           q32=q32)
+                           q32=q32, skip_drain=skip_drain)
 
     def closest_hit(scene, origin, direction, t_min=1e-3, t_max=1e4) -> Hit:
         t, prim, u, v = trav(bvh, origin, direction, t_min, t_max)
@@ -1455,7 +1462,8 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
                  compact_window: int = 0, steady_drain: int = 3,
                  compact_order: str = "morton", seed_rows: int = 0,
                  row_cursors: int = 8, row_expand: int = 2,
-                 q32: bool = False):
+                 q32: bool = False, skip_drain: bool = True,
+                 skip_expand: bool = True):
     # steady_drain=3 + dual: the dual-expand steady-drain kernel
     # (_make_kernel_wide_sdd) — two 16-bit child masks fill the one
     # extracted int32, leaf rows drain LIFO D-per-iteration with no
@@ -1474,13 +1482,18 @@ def make_any_hit(bvh: BVH, packet: bool = True, sort: bool = False,
     # row_cursors=8: the row-cursor kernel (see make_closest_hit);
     # TPU-measured on real NEE fronts (wrc64e2 vs wsm64d3) anyhit b1-b4
     # 0.77-0.91x, camera front par. Auto-falls-back where unsupported.
+    # skip_drain + skip_expand (round-5 defaults, wrc64e2d3xy): scalar
+    # branches around the drain / expand vector phases when every queue /
+    # stack is empty — phase stats measured any-hit drain utilization at
+    # 22-29%; exact, measured -9..-11% on every NEE front.
     trav = _pick_traversal(bvh, packet, sort, wide, ordered, dual=True,
                            steady_drain=steady_drain,
                            compact_window=compact_window,
                            drain_first=steady_drain > 0,
                            compact_order=compact_order,
                            row_cursors=row_cursors, row_expand=row_expand,
-                           q32=q32)
+                           q32=q32, skip_drain=skip_drain,
+                           skip_expand=skip_expand)
     seed = make_seed_test(bvh, seed_rows) if seed_rows > 0 else None
 
     def any_hit(scene, origin, direction, t_min=1e-3, t_max=1e4):

@@ -1570,6 +1570,7 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                           overflow_stats: bool = False,
                           cursor_kill: bool = False,
                           skip_expand: bool = False,
+                          skip_drain: bool = False,
                           phase_stats: bool = False):
     """Row-cursor traversal: EIGHT independent walk cursors per block, one
     per (1,128) sublane row of the packet.
@@ -1951,52 +1952,84 @@ def _make_kernel_wide_row(leaf_size: int, any_hit: bool, drain: int,
                 for g in range(1, 8):
                     pre_q = pre_q | qns[g]
                 qe_cnt = qe_cnt + (pre_q == 0).astype(jnp.int32)
-            slot_rows = []
-            for _k in range(drain):
-                rows_idx = []
-                for g in range(8):
-                    qn = qns[g]
-                    has = qn > 0
-                    if phase_stats:
-                        ld_cnt = ld_cnt + has.astype(jnp.int32)
-                    ent = queue_ref[g, jnp.maximum(qn - 1, 0)]
-                    m = ent & jnp.int32(0xFFFF)
-                    m = jnp.where(has, m, 0)
-                    low = m & -m
-                    rest = m ^ low
-                    pn = lsr(ent, 16)
 
-                    @pl.when(rest != 0)
-                    def _(g=g, at=jnp.maximum(qn - 1, 0), v=ent ^ low):
-                        queue_ref[g, at] = v
+            def _drain_phase(qns_in, args, ld_cnt=None):
+                qns_l = list(qns_in)
+                slot_rows = []
+                for _k in range(drain):
+                    rows_idx = []
+                    for g in range(8):
+                        qn = qns_l[g]
+                        has = qn > 0
+                        if ld_cnt is not None:
+                            ld_cnt = ld_cnt + has.astype(jnp.int32)
+                        ent = queue_ref[g, jnp.maximum(qn - 1, 0)]
+                        m = ent & jnp.int32(0xFFFF)
+                        m = jnp.where(has, m, 0)
+                        low = m & -m
+                        rest = m ^ low
+                        pn = lsr(ent, 16)
 
-                    qns[g] = jnp.where(has & (rest == 0), qn - 1, qn)
-                    st_leaf = lsr(meta_ref[3 * pn + 2], 16) & jnp.int32(0xFFFF)
-                    row = meta_ref[3 * pn + 1] - _pc16(st_leaf & (low - 1))
-                    rows_idx.append(jnp.where(has, row, dead_row))
-                slot_rows.append(rows_idx)
-            if dma_leaf:
-                dmas = []
-                for k in range(drain):
-                    for g in range(8):
-                        dma = pltpu.make_async_copy(
-                            leaf_ref.at[pl.ds(slot_rows[k][g], 1)],
-                            rowbuf_ref.at[pl.ds(k * 8 + g, 1)],
-                            dma_sem.at[k * 8 + g],
-                        )
-                        dma.start()
-                        dmas.append(dma)
-                for k in range(drain):
-                    for g in range(8):
-                        dmas[k * 8 + g].wait()
-                    args = tri_tests_cols(rowbuf_ref[pl.ds(k * 8, 8)], args)
+                        @pl.when(rest != 0)
+                        def _(g=g, at=jnp.maximum(qn - 1, 0), v=ent ^ low):
+                            queue_ref[g, at] = v
+
+                        qns_l[g] = jnp.where(has & (rest == 0), qn - 1, qn)
+                        st_leaf = lsr(meta_ref[3 * pn + 2], 16) & jnp.int32(
+                            0xFFFF)
+                        row = meta_ref[3 * pn + 1] - _pc16(st_leaf & (low - 1))
+                        rows_idx.append(jnp.where(has, row, dead_row))
+                    slot_rows.append(rows_idx)
+                if dma_leaf:
+                    dmas = []
+                    for k in range(drain):
+                        for g in range(8):
+                            dma = pltpu.make_async_copy(
+                                leaf_ref.at[pl.ds(slot_rows[k][g], 1)],
+                                rowbuf_ref.at[pl.ds(k * 8 + g, 1)],
+                                dma_sem.at[k * 8 + g],
+                            )
+                            dma.start()
+                            dmas.append(dma)
+                    for k in range(drain):
+                        for g in range(8):
+                            dmas[k * 8 + g].wait()
+                        args = tri_tests_cols(rowbuf_ref[pl.ds(k * 8, 8)],
+                                              args)
+                else:
+                    for k in range(drain):
+                        lrows = jnp.concatenate(
+                            [leaf_ref[pl.ds(slot_rows[k][g], 1)]
+                             for g in range(8)],
+                            axis=0)
+                        args = tri_tests_cols(lrows, args)
+                if ld_cnt is not None:
+                    return (*qns_l, *args, ld_cnt)
+                return (*qns_l, *args)
+
+            if skip_drain:
+                # Drain-skip (phase-stats-measured, VERDICT r4 #3): the
+                # drain's 3x12-slot MT passes are the dominant per-
+                # iteration vector cost, and on real fronts only 23-54% of
+                # drain slots are live — iterations where EVERY queue is
+                # empty (interior descent, post-drain tails, dead blocks)
+                # pay it all for dead rows. One scalar branch skips the
+                # whole phase; with all queues empty it is exactly a no-op.
+                assert not phase_stats, "skip_drain excludes phase_stats"
+                any_q = qns[0]
+                for g in range(1, 8):
+                    any_q = any_q | qns[g]
+                out_d = jax.lax.cond(
+                    any_q > 0,
+                    lambda: _drain_phase(tuple(qns), args),
+                    lambda: (*qns, *args))
             else:
-                for k in range(drain):
-                    lrows = jnp.concatenate(
-                        [leaf_ref[pl.ds(slot_rows[k][g], 1)]
-                         for g in range(8)],
-                        axis=0)
-                    args = tri_tests_cols(lrows, args)
+                out_d = _drain_phase(
+                    tuple(qns), args, ld_cnt if phase_stats else None)
+                if phase_stats:
+                    ld_cnt = out_d[13]
+            qns = list(out_d[0:8])
+            args = out_d[8:13]
             best_t, best_prim, best_u, best_v, done = args
             tail = ()
             if overflow_stats:
@@ -2486,7 +2519,8 @@ def _make_kernel_wide_multi(leaf_size: int, any_hit: bool, nblocks: int,
         "leaf_size", "any_hit", "ordered", "stack_size", "wide", "stats",
         "multi", "dma_leaf", "dual", "leaf_queue", "mask_via_vmem",
         "steady_drain", "drain_first", "row_cursors", "row_expand",
-        "overflow_stats", "q32", "cursor_kill", "skip_expand", "phase_stats",
+        "overflow_stats", "q32", "cursor_kill", "skip_expand", "skip_drain",
+        "phase_stats",
     ),
 )
 def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
@@ -2494,7 +2528,8 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
          dma_leaf=False, dual=False, leaf_queue=0, mask_via_vmem=False,
          steady_drain=0, drain_first=False, row_cursors=0, row_expand=2,
          meta=None, overflow_stats=False, q32=False, q32_perm=None,
-         cursor_kill=False, skip_expand=False, phase_stats=False):
+         cursor_kill=False, skip_expand=False, skip_drain=False,
+         phase_stats=False):
     """o, d: (B, 3, 8, 128); tlim: (B, 2, 8, 128)."""
     b = o.shape[0]
     out_shape = [
@@ -2562,6 +2597,7 @@ def _run(node_packed, leaf_packed, o, d, tlim, leaf_size, any_hit,
             leaf_size, any_hit, rd, row_expand, dma_leaf=dma_leaf,
             overflow_stats=overflow_stats,
             cursor_kill=cursor_kill and any_hit, skip_expand=skip_expand,
+            skip_drain=skip_drain and not phase_stats,
             phase_stats=phase_stats)
         if overflow_stats or phase_stats:
             out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.int32))
@@ -2644,6 +2680,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
                            overflow_stats: bool = False, q32: bool = False,
                            cursor_kill: bool = False,
                            skip_expand: bool = False,
+                           skip_drain: bool = False,
                            phase_stats: bool = False):
     """Drop-in alternative to ops.bvh.traverse_packet (same results).
 
@@ -2773,6 +2810,7 @@ def traverse_packet_pallas(bvh, origin, direction, t_min=1e-3, t_max=1e4,
         overflow_stats=overflow_stats and row_active and not q32,
         q32=bool(q32) and row_active, q32_perm=q32_perm,
         cursor_kill=cursor_kill, skip_expand=skip_expand,
+        skip_drain=skip_drain,
         phase_stats=phase_stats and row_active and not q32,
     )
     if stats:

@@ -244,14 +244,19 @@ def test_pallas_row_cursor_kill_and_skip_expand():
     d = d.at[:256].set(0.0)
     t2, p2, _, _ = bvhmod.traverse_packet(b, o, d)
     hit = np.asarray(p2) >= 0
-    t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8,
-                                    skip_expand=True)
-    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
-    np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
-                               rtol=1e-6)
+    for ckw in (dict(skip_expand=True), dict(skip_drain=True),
+                dict(skip_expand=True, skip_drain=True),
+                # Sponza-scale composition: the drain's async row copies
+                # live INSIDE the skip branch (DMA under lax.cond).
+                dict(skip_drain=True, dma_leaf=True)):
+        t1, p1, _, _ = _pallas_traverse(b, o, d, row_cursors=8, **ckw)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(t1)[hit], np.asarray(t2)[hit],
+                                   rtol=1e-6)
     tb, pb, _, _ = bvhmod.traverse_packet(b, o, d, any_hit=True)
-    for kw in (dict(cursor_kill=True), dict(cursor_kill=True,
-                                            skip_expand=True)):
+    for kw in (dict(cursor_kill=True),
+               dict(cursor_kill=True, skip_expand=True),
+               dict(skip_drain=True, skip_expand=True)):
         ta, pa, _, _ = _pallas_traverse(b, o, d, any_hit=True,
                                         row_cursors=8, **kw)
         np.testing.assert_array_equal(np.asarray(pa) >= 0,

@@ -181,7 +181,7 @@ def main():
     def _leaf_n(v):
         for p in ("wlsd", "wlrc", "lsd", "leaf"):
             if v.startswith(p):
-                return int(v[len(p):])
+                return int(v[len(p):].rstrip("kxy"))
         return None
 
     alt_trees = {
@@ -328,17 +328,20 @@ def main():
                 row_cursors=8, row_expand=int(ex),
                 steady_drain=int(dr or 3), q32=True)
         if v.startswith("wrc") and "e" in v[3:]:
-            # wrc<W>e<E>[d<D>][k][x]: morton windowed compaction +
+            # wrc<W>e<E>[d<D>][k][x][y]: morton windowed compaction +
             # ROW-CURSOR kernel (8 per-sublane cursors, mask-entry stacks),
             # expand E, drain D (default 3). Suffix k = any-hit cursor
             # kill (all-done sublanes drop their stack/queue); suffix x =
             # expand-skip (leaf-tail iterations branch around the node
-            # fetch + slab work). VERDICT r4 #3 leaf-term levers.
+            # fetch + slab work); suffix y = drain-skip (all-queues-empty
+            # iterations branch around the 3x12-slot MT passes — phase
+            # stats measured drain-util 23-54% on real fronts). VERDICT r4
+            # #3 leaf-term levers.
             from rust_renderer_tpu.ops import compaction
             wb, rest = v[3:].split("e")
             ex, _, dr = rest.partition("d")
             flags = ""
-            while dr and dr[-1] in "kx":
+            while dr and dr[-1] in "kxy":
                 flags += dr[-1]
                 dr = dr[:-1]
             return compaction.traverse_compacted(
@@ -346,7 +349,8 @@ def main():
                 method="sort", order="morton", any_hit=any_hit,
                 row_cursors=8, row_expand=int(ex),
                 steady_drain=int(dr or 3),
-                cursor_kill="k" in flags, skip_expand="x" in flags)
+                cursor_kill="k" in flags, skip_expand="x" in flags,
+                skip_drain="y" in flags)
         if v.startswith("rc"):
             # rc<E>: plain row-cursor kernel, no compaction
             return traverse_packet_pallas(
@@ -422,15 +426,23 @@ def main():
                                           any_hit=any_hit,
                                           mask_via_vmem=True)
         if v.startswith("wlrc"):
-            # leafN tree + morton win64 compaction + row-cursor e2 d3 — the
-            # round-3 production composition with a fatter leaf row (leaf24
-            # won closest under sdd but wrecked any-hit; row-cursor changed
-            # the drain economics, so re-measure)
+            # wlrc<N>[k][x][y]: leafN tree + morton win64 compaction +
+            # row-cursor e2 d3 (+ the skip-flag suffixes of wrc). leaf8
+            # rows pad to the same 128-col fetch as leaf12 but run 8 MT
+            # slots per drain instead of 12 — fetch count up ~30%, drain
+            # vector cost down 33%.
             from rust_renderer_tpu.ops import compaction
+            spec = v[4:]
+            flags = ""
+            while spec and spec[-1] in "kxy":
+                flags += spec[-1]
+                spec = spec[:-1]
             return compaction.traverse_compacted(
-                alt_trees[int(v[4:])], o, d, tmin, tmax, window_blocks=64,
+                alt_trees[int(spec)], o, d, tmin, tmax, window_blocks=64,
                 method="sort", order="morton", any_hit=any_hit,
-                row_cursors=8, row_expand=2, steady_drain=3)
+                row_cursors=8, row_expand=2, steady_drain=3,
+                cursor_kill="k" in flags, skip_expand="x" in flags,
+                skip_drain="y" in flags)
         if v.startswith("wlsd"):
             # leafN tree + sdd3 + 16-block windowed compaction — the full
             # production composition with a fatter leaf row
