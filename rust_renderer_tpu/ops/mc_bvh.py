@@ -19,6 +19,16 @@ by closest-t (the two-level-traversal design from VERDICT r2 #4).
 Triangle ids in the dynamic tree index the MC result's slot-major triangle
 array (slot s of cell v = s*V + v), so shading fetches the MC gradient
 normals with one packed-row gather.
+
+Round-5 layout (measured on TPU, PERFORMANCE.md r5): leaf rows hold TWO
+morton-adjacent cells (10 tri slots, 100 cols) instead of one (50 cols) —
+a VMEM row costs 512 B at ANY width <= 128, so single-cell rows wasted
+half of every fetch and pushed the 32³ leaf table to 16.8 MB, forcing the
+per-pop DMA path (the measured 85 ms/call dyn traversal at 1080p). Paired
+rows halve the table into full-VMEM residence, and storing rows in MORTON
+RANK order makes every wide node's children contiguous, which qualifies
+the dynamic tree for the production ROW-CURSOR kernel (wnode_meta built
+from the static topology).
 """
 
 from __future__ import annotations
@@ -51,53 +61,70 @@ def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray, bits: int) -> np.ndarr
     return expand(x) | (expand(y) << 1) | (expand(z) << 2)
 
 
+CELLS_PER_ROW = 2  # morton-adjacent cells sharing one 512 B leaf row
+
+
 @functools.lru_cache(maxsize=8)
 def _static_topology(grid: int):
     """Host-side, once per grid size: Morton cell order + static wide-tree
-    refs + static binary skip-pointer columns (for the XLA fallback path)."""
+    refs + row-cursor metadata + static binary skip-pointer columns (for
+    the XLA fallback path). Leaf ROW j = morton ranks [2j, 2j+1]; rows are
+    rank-ordered, so every wide node's children are contiguous."""
     assert grid & (grid - 1) == 0, "mc grid must be a power of two"
+    assert grid >= 2
     v = grid ** 3
+    rows = v // CELLS_PER_ROW
     ii = np.arange(grid)
     gx, gy, gz = np.meshgrid(ii, ii, ii, indexing="ij")
     linear = (gx * grid * grid + gy * grid + gz).reshape(-1)
     codes = _morton3(gx.reshape(-1), gy.reshape(-1), gz.reshape(-1), 5)
     morton_cells = linear[np.argsort(codes, kind="stable")]  # rank -> linear
 
-    # -- wide tree: 16-ary over Morton-ranked cells, levels bottom-up.
-    level_sizes = [v]
+    # -- wide tree: 16-ary over the rank-ordered leaf rows, levels
+    # bottom-up; level_sizes = [R, R/16, ..., 1]; node order =
+    # [root, ..., level1].
+    level_sizes = [rows]
     while level_sizes[-1] > 1:
         level_sizes.append(-(-level_sizes[-1] // WIDE_WIDTH))
-    # level_sizes = [V, V/16, ..., 1]; node order = [root, ..., level1].
     n_internal_levels = len(level_sizes) - 1
-    offsets = {}  # internal level index (1 = over leaves) -> node offset
+    offsets = {}  # internal level index (1 = over leaf rows) -> node offset
     off = 0
     for li in range(n_internal_levels, 0, -1):
         offsets[li] = off
         off += level_sizes[li]
     n_wide = off
     wide_refs = np.full((n_wide, WIDE_WIDTH), WIDE_EMPTY, np.int32)
+    # Row-cursor metadata, exactly the production encoding (ops/bvh.py
+    # _collapse_wide): [int_last, leaf_last, int_rev | leaf_rev << 16] with
+    # bit-reversed static masks and a synthetic root row appended last.
+    meta = np.zeros((n_wide + 1, 3), np.int32)
     for li in range(n_internal_levels, 0, -1):
         n_nodes = level_sizes[li]
         n_children = level_sizes[li - 1]
         for i in range(n_nodes):
-            for c in range(WIDE_WIDTH):
+            node = offsets[li] + i
+            nc = min(WIDE_WIDTH, n_children - i * WIDE_WIDTH)
+            rev = 0
+            for c in range(nc):
                 child = i * WIDE_WIDTH + c
-                if child >= n_children:
-                    break
-                if li == 1:  # children are leaves (cells)
-                    wide_refs[offsets[li] + i, c] = np.int32(
-                        -2 - morton_cells[child]
-                    )
+                rev |= 1 << (WIDE_WIDTH - 1 - c)
+                if li == 1:  # children are leaf ROWS, contiguous by rank
+                    wide_refs[node, c] = np.int32(-2 - child)
                 else:
-                    wide_refs[offsets[li] + i, c] = np.int32(
-                        offsets[li - 1] + child
-                    )
+                    wide_refs[node, c] = np.int32(offsets[li - 1] + child)
+            if li == 1:
+                meta[node] = (0, i * WIDE_WIDTH + nc - 1,
+                              np.int32(np.uint32(rev << WIDE_WIDTH)))
+            else:
+                meta[node] = (offsets[li - 1] + i * WIDE_WIDTH + nc - 1,
+                              0, rev)
+    meta[n_wide] = (0, 0, 1 << (WIDE_WIDTH - 1))  # synthetic root entry
     wide_depth = n_internal_levels
 
     # -- binary skip-pointer tree (XLA packet fallback): complete heap over
-    # the Morton leaves, preorder columns.
-    depth = int(np.log2(v))
-    n_bin = 2 * v - 1
+    # the rank-ordered leaf rows, preorder columns.
+    depth = int(np.log2(rows))
+    n_bin = 2 * rows - 1
     pre2heap = np.zeros(n_bin, np.int64)
     miss_pre = np.full(n_bin, -1, np.int32)
     leaf_pre = np.full(n_bin, -1, np.int32)
@@ -107,11 +134,11 @@ def _static_topology(grid: int):
         h = stack.pop()
         pre2heap[p] = h
         d = h.bit_length() - 1
-        leaves_below = v >> d
+        leaves_below = rows >> d
         size = 2 * leaves_below - 1
         miss_pre[p] = p + size if p + size < n_bin else -1
-        if h >= v:  # leaf
-            leaf_pre[p] = morton_cells[h - v]
+        if h >= rows:  # leaf row (already rank-ordered)
+            leaf_pre[p] = h - rows
         else:
             stack.append(2 * h + 1)
             stack.append(2 * h)
@@ -125,7 +152,9 @@ def _static_topology(grid: int):
     )
     return dict(
         morton_cells=morton_cells.astype(np.int32),
+        rows=rows,
         wide_refs=wide_refs,
+        wide_meta=meta,
         wide_level_sizes=tuple(level_sizes),
         wide_offsets=offsets,
         wide_depth=wide_depth,
@@ -152,13 +181,14 @@ def table_shapes(grid: int) -> dict[str, tuple[int, ...]]:
     PERFORMANCE.md round 3)."""
     topo = _static_topology(grid)
     v = grid ** 3
-    ls = MAX_TRIS_PER_VOXEL
+    rows = topo["rows"]
+    ls_row = CELLS_PER_ROW * MAX_TRIS_PER_VOXEL
     n_wide = topo["wide_refs"].shape[0]
     return {
         "mc_wnode": (n_wide, 7 * WIDE_WIDTH),
-        "mc_node": (2 * v - 1, 8),
-        "mc_leaf": (v, 10 * ls),
-        "mc_tri_normals": (ls * v, 9),
+        "mc_node": (2 * rows - 1, 8),
+        "mc_leaf": (rows, 10 * ls_row),
+        "mc_tri_normals": (MAX_TRIS_PER_VOXEL * v, 9),
     }
 
 
@@ -180,20 +210,21 @@ def dynamic_scene_from_tables(tables, grid: int, material_id) -> DynamicScene:
     (wnode_packed / node_packed / leaf_packed + the static-topology columns
     and depths); box/leaf component arrays are placeholders."""
     topo = _static_topology(grid)
-    ls = MAX_TRIS_PER_VOXEL
+    ls_row = CELLS_PER_ROW * MAX_TRIS_PER_VOXEL
     zeros3 = jnp.zeros((1, 3), jnp.float32)
     dyn_bvh = BVH(
         node_min=zeros3,
         node_max=zeros3,
         node_miss=jnp.asarray(topo["miss_pre"]),
         node_leaf=jnp.asarray(topo["leaf_pre"]),
-        leaf_tris=jnp.zeros((1, ls), jnp.int32),
-        leaf_v0=jnp.zeros((1, ls, 3)),
-        leaf_e1=jnp.zeros((1, ls, 3)),
-        leaf_e2=jnp.zeros((1, ls, 3)),
+        leaf_tris=jnp.zeros((1, ls_row), jnp.int32),
+        leaf_v0=jnp.zeros((1, ls_row, 3)),
+        leaf_e1=jnp.zeros((1, ls_row, 3)),
+        leaf_e2=jnp.zeros((1, ls_row, 3)),
         node_packed=tables["mc_node"],
         leaf_packed=tables["mc_leaf"],
         wnode_packed=tables["mc_wnode"],
+        wnode_meta=jnp.asarray(topo["wide_meta"]),
         max_depth=int(topo["bin_depth"]),
         wide_depth=int(topo["wide_depth"]),
     )
@@ -212,29 +243,37 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
     """
     topo = _static_topology(grid)
     v = grid ** 3
+    rows = topo["rows"]
     ls = MAX_TRIS_PER_VOXEL
+    ls_row = CELLS_PER_ROW * ls
 
-    # Slot-major (5V, ...) -> per-cell (V, 5, ...), linear cell order.
+    # Slot-major (5V, ...) -> per-cell (V, 5, ...), linear cell order, then
+    # MORTON RANK order paired two cells per leaf row (see module doc).
     pos = mc_result.positions.reshape(ls, v, 3, 3).transpose(1, 0, 2, 3)
     valid = mc_result.valid.reshape(ls, v).transpose(1, 0)  # (V, 5)
+    morton = jnp.asarray(topo["morton_cells"])  # rank -> linear (static)
+    pos_r = pos[morton].reshape(rows, CELLS_PER_ROW, ls, 3, 3)
+    val_r = valid[morton].reshape(rows, CELLS_PER_ROW, ls)
 
-    # -- leaf rows (linear cell order): slot s cols [9s, 9s+9) = v0, e1, e2;
-    # ids (slot-major triangle index s*V + cell) bitcast into cols 45..50.
-    v0 = pos[:, :, 0]
-    e1 = pos[:, :, 1] - v0
-    e2 = pos[:, :, 2] - v0
-    vm = valid[..., None]
+    # -- leaf rows (rank order): slot s cols [9s, 9s+9) = v0, e1, e2 (cell
+    # 0 fills slots 0..4, cell 1 slots 5..9); ids (slot-major triangle
+    # index s*V + linear cell) bitcast into the trailing ls_row cols.
+    v0 = pos_r[..., 0, :]
+    e1 = pos_r[..., 1, :] - v0
+    e2 = pos_r[..., 2, :] - v0
+    vm = val_r[..., None]
     per_slot = jnp.where(
         vm, jnp.concatenate([v0, e1, e2], axis=-1), 0.0
-    )  # (V, 5, 9)
+    )  # (R, 2, 5, 9)
+    cells_lin = morton.reshape(rows, CELLS_PER_ROW)
     slot_ids = (
-        jnp.arange(ls, dtype=jnp.int32)[None, :] * v
-        + jnp.arange(v, dtype=jnp.int32)[:, None]
+        jnp.arange(ls, dtype=jnp.int32)[None, None, :] * v
+        + cells_lin[:, :, None]
     )
-    ids = jnp.where(valid, slot_ids, -1)
+    ids = jnp.where(val_r, slot_ids, -1).reshape(rows, ls_row)
     leaf_packed = jnp.concatenate(
         [
-            per_slot.reshape(v, ls * 9),
+            per_slot.reshape(rows, ls_row * 9),
             jax.lax.bitcast_convert_type(ids, jnp.float32),
         ],
         axis=1,
@@ -250,10 +289,10 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
     # +_BIG at pack time: tnear lands at ~+3e25 > any best_t, so no ray
     # enters, and the point cannot stretch a parent union (parents are
     # reduced from the inverted form).
-    flat = pos.reshape(v, ls * 3, 3)
-    vmask = jnp.repeat(valid, 3, axis=1)[..., None]  # (V, 15, 1)
-    lmin = jnp.min(jnp.where(vmask, flat, _BIG), axis=1)  # (V, 3)
-    lmax = jnp.max(jnp.where(vmask, flat, -_BIG), axis=1)
+    flat = pos_r.reshape(rows, ls_row * 3, 3)
+    vmask = jnp.repeat(val_r.reshape(rows, ls_row), 3, axis=1)[..., None]
+    bmin = jnp.min(jnp.where(vmask, flat, _BIG), axis=1)  # (R, 3)
+    bmax = jnp.max(jnp.where(vmask, flat, -_BIG), axis=1)
 
     def _depoison(bmin, bmax):
         empty = jnp.any(bmin > bmax, axis=-1, keepdims=True)
@@ -261,10 +300,6 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
             jnp.where(empty, _BIG, bmin),
             jnp.where(empty, _BIG, bmax),
         )
-
-    morton = jnp.asarray(topo["morton_cells"])
-    bmin = lmin[morton]  # static permutation (small)
-    bmax = lmax[morton]
 
     # -- level reductions + wide-node box rows (node order: root..level1).
     level_sizes = topo["wide_level_sizes"]
@@ -327,12 +362,13 @@ def build_dynamic_scene(mc_result, grid: int, material_id) -> DynamicScene:
         node_miss=jnp.asarray(topo["miss_pre"]),
         node_leaf=jnp.asarray(topo["leaf_pre"]),
         leaf_tris=ids,
-        leaf_v0=jnp.zeros((1, ls, 3)),
-        leaf_e1=jnp.zeros((1, ls, 3)),
-        leaf_e2=jnp.zeros((1, ls, 3)),
+        leaf_v0=jnp.zeros((1, ls_row, 3)),
+        leaf_e1=jnp.zeros((1, ls_row, 3)),
+        leaf_e2=jnp.zeros((1, ls_row, 3)),
         node_packed=node_packed,
         leaf_packed=leaf_packed,
         wnode_packed=wnode_packed,
+        wnode_meta=jnp.asarray(topo["wide_meta"]),
         max_depth=int(topo["bin_depth"]),
         wide_depth=int(topo["wide_depth"]),
     )
@@ -351,15 +387,17 @@ def _dyn_traverse(dyn: DynamicScene, origin, direction, t_min, t_max,
     if mode != "none":
         from rust_renderer_tpu.ops.pallas.traversal import traverse_packet_pallas
 
-        # dual-expand steady drain (steady_drain=3, dual=True): the round-3
-        # TPU-measured production kernel for both modes (same verdict as
-        # ops/bvh.py make_closest_hit/make_any_hit — tools/bench_fronts.py).
-        # drain_first on occlusion queries only (measured -2..-12% on
-        # any-hit fronts, wash on closest — ops/bvh.py make_any_hit).
+        # Production row-cursor settings (round 5): the paired-row dynamic
+        # tree carries wnode_meta with contiguous children, so the same
+        # kernel + skip branches as ops/bvh.py make_closest_hit /
+        # make_any_hit apply; the launcher falls back to the dual-expand
+        # steady drain (dual=True, steady_drain=3, drain_first on
+        # occlusion) wherever the row path is unsupported.
         return traverse_packet_pallas(
             dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit,
             wide=True, dma_leaf=(mode == "dma"), dual=True, steady_drain=3,
-            drain_first=any_hit,
+            drain_first=any_hit, row_cursors=8, row_expand=2,
+            skip_drain=True, skip_expand=any_hit,
         )
     return bvh_ops.traverse_packet(
         dyn.bvh, origin, direction, t_min, t_max, any_hit=any_hit

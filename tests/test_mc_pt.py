@@ -87,6 +87,43 @@ def test_dynamic_bvh_matches_bruteforce():
     assert agree > 0.99
 
 
+def test_dynamic_bvh_row_kernel_matches():
+    """The paired-row dynamic tree qualifies for the production row-cursor
+    kernel (round-5 layout: 2 morton-adjacent cells per 512 B leaf row +
+    wnode_meta from the static topology). On CPU _dyn_traverse falls back
+    to the XLA walk, so this drives the Pallas row path in interpret mode
+    explicitly and checks it against brute force."""
+    from rust_renderer_tpu.ops import mc_bvh
+    from tests.test_pallas_traversal import _pallas_traverse
+
+    res = _mc_result(time=1.7)
+    dyn = mc_bvh.build_dynamic_scene(res, GRID, material_id=0)
+    assert dyn.bvh.wnode_meta is not None
+
+    rng = np.random.default_rng(13)
+    n = 1024
+    center = np.full(3, GRID / 2.0, np.float32)
+    o = (center + rng.normal(0, GRID, (n, 3))).astype(np.float32)
+    d = (center + rng.normal(0, GRID / 3, (n, 3)) - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    t, prim, _, _ = _pallas_traverse(dyn.bvh, o, d, row_cursors=8,
+                                     skip_drain=True)
+    t, prim = np.asarray(t), np.asarray(prim)
+    tb, _ = _brute_closest(np.asarray(res.positions), np.asarray(res.valid),
+                           np.asarray(o), np.asarray(d))
+    hit = np.isfinite(tb)
+    assert hit.sum() > 60
+    np.testing.assert_array_equal(prim >= 0, hit)
+    np.testing.assert_allclose(t[hit], tb[hit], rtol=1e-4, atol=1e-4)
+
+    ta, pa, _, _ = _pallas_traverse(dyn.bvh, o, d, any_hit=True,
+                                    row_cursors=8, skip_drain=True,
+                                    skip_expand=True)
+    np.testing.assert_array_equal(np.asarray(pa) >= 0, hit)
+
+
 def test_dynamic_any_hit():
     from rust_renderer_tpu.ops import mc_bvh
 
