@@ -362,10 +362,11 @@ def build_path_tracing_render_graph(
     closest = bvh_ops.make_closest_hit(scene_bvh,
                                        compact_window=cfg.compact_window,
                                        compact_order=cfg.compact_order)
-    any_hit = bvh_ops.make_any_hit(scene_bvh,
-                                   compact_window=cfg.compact_window,
-                                   compact_order=cfg.compact_order,
-                                   seed_rows=cfg.seed_rows)
+    any_hit = bvh_ops.make_any_hit(
+        scene_bvh,
+        compact_window=getattr(cfg, "compact_window_any",
+                               cfg.compact_window),
+        compact_order=cfg.compact_order, seed_rows=cfg.seed_rows)
     use_cubemap_sky = cfg.sky_mode == "cubemap"
 
     def reference_pt(res, scene, view, u):

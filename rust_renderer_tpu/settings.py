@@ -76,6 +76,12 @@ class StaticConfig:
     # scramble). Round-3 history: 16 was the wsd16 (live-first) optimum
     # before Morton ordering existed.
     compact_window: int = 64
+    # Occlusion (any-hit) queries compact over WIDER windows: under the
+    # round-5 skip branches the drain phase only runs while some queue is
+    # live, so the larger window's better Morton locality wins on every
+    # NEE front (-3..-7%, tools/bench_fronts.py wrc128e2d3y vs 64) while
+    # closest stays mixed at 128 (camera front +21%).
+    compact_window_any: int = 128
     # Ordering of live lanes within each compaction window: "morton" sorts
     # by origin Morton code (unions are origin-driven — clustering origins
     # narrows each surviving block's walk), "live" keeps stable image
