@@ -570,7 +570,11 @@ def _presplit_refs(positions: np.ndarray, indices: np.ndarray,
         a_to = vax[:, [1, 2, 0]]
         cross = (a_from - p[:, None]) * (a_to - p[:, None]) < 0.0
         denom = a_to - a_from
-        tt = np.where(np.abs(denom) > 1e-30, (p[:, None] - a_from) / denom, 0.0)
+        # Guarded select: the where() masks degenerate edges, but numpy
+        # still evaluates the division — silence the benign warning.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = np.where(np.abs(denom) > 1e-30,
+                          (p[:, None] - a_from) / denom, 0.0)
         ipts = e_from + tt[..., None] * (e_to - e_from)  # (C, 3, 3)
 
         big = np.float32(3e38)
