@@ -329,7 +329,10 @@ def main() -> int:
                                     "workload started"},
             }), flush=True)
             continue
-        env = dict(os.environ, RR_BENCH_ONLY=metric, RR_BENCH_WAIT_S="150")
+        env = dict(os.environ, RR_BENCH_ONLY=metric)
+        # The parent already waited for the tunnel once; children only need
+        # a short re-check — unless the user set their own wait budget.
+        env.setdefault("RR_BENCH_WAIT_S", "150")
         if remaining < 420.0 and not _fast_mode():
             env["RR_BENCH_FAST"] = "1"  # host-loop timing, small compile
         try:

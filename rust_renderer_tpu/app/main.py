@@ -251,22 +251,21 @@ class Application:
             self._refresh_view()
             self._ensure_environment()
             self._build_graph()
-            iso = [p.isolated for p in self.graph.passes]
-            n_prefix = 0
-            while n_prefix < len(iso) and iso[n_prefix]:
-                n_prefix += 1
-            if any(iso[n_prefix:]):
+            reason = self.graph.device_loop_unsupported_reason()
+            if reason is not None:
                 # A LEADING run of isolated passes is supported by
                 # render_loop (batched over frames in its own program —
-                # the marching-cubes extract/refit chain rides this); an
-                # isolated pass sandwiched between non-isolated ones is
-                # not, because its body would have to re-enter the scan.
-                # Fall back to the host frame loop for those graphs.
+                # the marching-cubes extract/refit chain rides this); the
+                # unsupported shapes (sandwiched isolated passes,
+                # all-isolated graphs, prefix passes chaining per-frame
+                # persistent state) fall back to the host frame loop.
+                # Graph.device_loop_unsupported_reason is the single
+                # source of truth shared with render_loop's ValueError.
                 import logging
 
                 logging.getLogger(__name__).info(
-                    "run_on_device: graph has isolated passes; "
-                    "falling back to the host frame loop")
+                    "run_on_device: %s; falling back to the host frame "
+                    "loop", reason)
                 # _refresh_view already advanced the counters for frame 1;
                 # render_frame will do it again, so rewind.
                 self.total_samples -= self.cfg.samples_per_frame

@@ -44,12 +44,17 @@ BufferId = str
 @dataclasses.dataclass
 class ResourceDesc:
     """Named resource descriptor (graph.rs:563-619 texture/buffer descs).
-    Cached by (name, shape, dtype) equality; `clear` is the initial value."""
+    Cached by (name, shape, dtype) equality; `clear` is the initial value.
+    sanitize=False exempts the resource from the NaN/Inf sanitizer — for
+    float tables whose columns carry BITCAST int32 payloads (tri ids /
+    child refs), where -1 and small negative ids alias NaN bit patterns
+    and would swamp the report with false positives."""
 
     name: str
     shape: tuple[int, ...]
     dtype: Any
     clear: float | int = 0.0
+    sanitize: bool = True
 
     def allocate(self) -> jax.Array:
         return jnp.full(self.shape, self.clear, self.dtype)
@@ -215,20 +220,23 @@ class Graph:
     def create_texture(
         self, name: str, width: int, height: int, channels: int = 4,
         dtype=jnp.float32, clear: float = 0.0, persistent: bool = False,
+        sanitize: bool = True,
     ) -> TextureId:
         """Name-keyed texture cache (graph.rs:563-587). (H, W, C) layout."""
         shape = (height, width, channels) if channels > 1 else (height, width)
-        return self._declare(name, shape, dtype, clear, persistent)
+        return self._declare(name, shape, dtype, clear, persistent, sanitize)
 
     def create_buffer(
         self, name: str, shape: tuple[int, ...], dtype=jnp.float32,
-        clear: float = 0.0, persistent: bool = False,
+        clear: float = 0.0, persistent: bool = False, sanitize: bool = True,
     ) -> BufferId:
         """graph.rs:593-619."""
-        return self._declare(name, tuple(shape), dtype, clear, persistent)
+        return self._declare(name, tuple(shape), dtype, clear, persistent,
+                             sanitize)
 
-    def _declare(self, name, shape, dtype, clear, persistent) -> str:
-        desc = ResourceDesc(name, tuple(shape), dtype, clear)
+    def _declare(self, name, shape, dtype, clear, persistent,
+                 sanitize: bool = True) -> str:
+        desc = ResourceDesc(name, tuple(shape), dtype, clear, sanitize)
         old = self.descs.get(name)
         if old is not None and (old.shape != desc.shape or old.dtype != desc.dtype):
             # Resolution change etc.: drop the cached resource (the reference
@@ -306,7 +314,8 @@ class Graph:
                  tuple(p.uniforms), p.isolated)
                 for p in self.passes
             ),
-            tuple(sorted((d.name, d.shape, str(d.dtype)) for d in self.descs.values())),
+            tuple(sorted((d.name, d.shape, str(d.dtype), d.sanitize)
+                         for d in self.descs.values())),
             tuple(sorted(self.persist)),
         )
 
@@ -328,6 +337,39 @@ class Graph:
         for name in self.persist:
             if name not in self.state:
                 self.state[name] = self.descs[name].allocate()
+
+    def device_loop_unsupported_reason(self) -> str | None:
+        """Why `render_loop` cannot faithfully run the CURRENT pass list
+        (None = supported). The single source of truth for both
+        render_loop's ValueError and Application.run_on_device's host-loop
+        fallback — keeping the two in sync by construction."""
+        passes = self.passes
+        n_prefix = 0
+        while n_prefix < len(passes) and passes[n_prefix].isolated:
+            n_prefix += 1
+        prefix, main = passes[:n_prefix], passes[n_prefix:]
+        if any(p.isolated for p in main):
+            return ("isolated pass after a non-isolated pass — only a "
+                    "leading isolated prefix is supported")
+        if prefix and not main:
+            return ("every pass is isolated — the scan body would render "
+                    "nothing")
+        if prefix:
+            frame_written = set()
+            for p in passes:
+                frame_written.update(p.writes)
+            for p in prefix:
+                # A prefix pass reading per-frame-updated PERSISTENT state
+                # would see the pre-dispatch value for every batched frame
+                # (lax.map has no carry) — silently diverging from the
+                # host loop's frame-to-frame chaining.
+                bad = set(p.reads) & self.persist & frame_written
+                if bad:
+                    return ("isolated prefix pass "
+                            f"'{p.name}' reads per-frame persistent state "
+                            f"{sorted(bad)} — the batched prefix cannot "
+                            "chain it across frames")
+        return None
 
     def render(self, scene, view) -> dict[str, jax.Array]:
         """Execute the frame: one jitted computation over all passes.
@@ -375,7 +417,11 @@ class Graph:
                         for wname, arr in outs.items():
                             arr = constrain_rows(arr)
                             resources[wname] = arr
-                            if sanitize and jnp.issubdtype(arr.dtype, jnp.floating):
+                            d = descs.get(wname)
+                            if (sanitize
+                                    and jnp.issubdtype(arr.dtype,
+                                                       jnp.floating)
+                                    and (d is None or d.sanitize)):
                                 checks[f"{p.name}/{wname}"] = jnp.sum(
                                     (~jnp.isfinite(arr)).astype(jnp.int32)
                                 )
@@ -480,6 +526,9 @@ class Graph:
         Returns the LAST frame's `present_output`; `Graph.state` is updated
         with the final persistent resources.
         """
+        reason = self.device_loop_unsupported_reason()
+        if reason is not None:
+            raise ValueError(f"render_loop: {reason}")
         self.prepare()
         passes = list(self.passes)
         descs = dict(self.descs)
@@ -487,10 +536,6 @@ class Graph:
         while n_prefix < len(passes) and passes[n_prefix].isolated:
             n_prefix += 1
         prefix, main = passes[:n_prefix], passes[n_prefix:]
-        if any(p.isolated for p in main):
-            raise ValueError(
-                "render_loop: isolated pass after a non-isolated pass — "
-                "only a leading isolated prefix is supported")
         main_reads = set()
         for p in main:
             main_reads.update(p.reads)
@@ -523,8 +568,8 @@ class Graph:
             for p in pass_list:
                 for w in p.writes:
                     d = descs.get(w)
-                    if d is not None and jnp.issubdtype(
-                            jnp.dtype(d.dtype), jnp.floating):
+                    if (d is not None and d.sanitize and jnp.issubdtype(
+                            jnp.dtype(d.dtype), jnp.floating)):
                         keys.append((p.name, w))
             return keys
 
@@ -604,6 +649,15 @@ class Graph:
                             arr, k, axis=0, keepdims=False)
                     for name, desc in descs.items():
                         if name not in resources:
+                            # A prefix-written name that was NOT stacked
+                            # (because no main pass DECLARED reading it) is
+                            # deliberately left out: touching it from a
+                            # main-pass body would otherwise silently read
+                            # desc-allocated zeros here while the host loop
+                            # reads the real prefix output. The KeyError at
+                            # trace time points at the missing .read().
+                            if name in prefix_writes and name not in stacked:
+                                continue
                             resources[name] = desc.allocate()
                     outs_by_pass = []
                     for p, u in zip(main, uniforms):

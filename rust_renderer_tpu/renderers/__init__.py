@@ -192,7 +192,12 @@ def build_path_tracing_render_graph(
         graph.create_buffer("marching_cubes_draw_count", (1,), dtype=jnp.int32)
         mc_reads = ("mc_wnode", "mc_node", "mc_leaf", "mc_tri_normals")
         for tname, tshape in mc_bvh.table_shapes(cfg.mc_grid).items():
-            graph.create_buffer(tname, tshape)
+            # The refit tables carry BITCAST int32 tri ids / child refs in
+            # f32 columns (-1 and leaf refs alias NaN bit patterns) —
+            # exempt them from the sanitizer so --sanitize + MC reports
+            # real findings instead of tens of thousands of false ones.
+            graph.create_buffer(tname, tshape,
+                                sanitize=(tname == "mc_tri_normals"))
 
         def mc_extract(res, scene, view, u):
             # Fixed [0,32]^3 world domain (the reference's feature region) at

@@ -169,6 +169,65 @@ def test_mc_loop_animates_across_frames():
     assert counts[0] != counts[1], "SDF did not animate — test is vacuous"
 
 
+def test_device_loop_unsupported_shapes_fall_back():
+    """Graph.device_loop_unsupported_reason is the single predicate for
+    render_loop's ValueError AND run_on_device's host fallback: all-
+    isolated graphs (the scan would render zero frames) and prefix passes
+    chaining per-frame persistent state (lax.map has no carry) must be
+    rejected, not silently mis-rendered."""
+    import jax.numpy as jnp
+    import pytest
+
+    def img_pass(res, scene, view, u):
+        return {"present_output": jnp.zeros((8, 8, 3), jnp.float32)}
+
+    g = rt.Graph()
+    g.create_texture("present_output", 8, 8, 3)
+    g.new_frame(); g.clear()
+    g.add_pass("only").write("present_output").render(img_pass).isolate() \
+        .build()
+    assert "isolated" in g.device_loop_unsupported_reason()
+
+
+def test_device_loop_rejects_persistent_prefix_chain():
+    import jax.numpy as jnp
+    import pytest
+
+    from rust_renderer_tpu.settings import RenderSettings
+
+    g = rt.Graph()
+    g.create_buffer("acc", (4,), persistent=True)
+    g.create_texture("present_output", 8, 8, 3)
+
+    def pre(res, scene, view, u):
+        return {"acc": res["acc"] + 1.0}
+
+    def main_pass(res, scene, view, u):
+        return {"present_output": jnp.zeros((8, 8, 3), jnp.float32)}
+
+    g.new_frame(); g.clear()
+    g.add_pass("pre").read("acc").write("acc").render(pre).isolate().build()
+    g.add_pass("m").write("present_output").render(main_pass).build()
+    reason = g.device_loop_unsupported_reason()
+    assert reason is not None and "persistent" in reason
+    with pytest.raises(ValueError):
+        g.render_loop(None, RenderSettings.default(), 2)
+
+
+def test_mc_loop_sanitize_clean():
+    """--sanitize composes with the MC device loop: the refit tables'
+    bitcast int32 id/ref columns are sanitize-exempt (they alias NaN bit
+    patterns), so a clean animated-MC dispatch reports nothing."""
+    cfg = CFG.replace(mc_grid=8)
+    app = Application(W, H, RenderGraphMode.PATH_TRACED, cfg, sanitize=True)
+    app.create_scene(_tiny_scene)
+    app.fps_timer.elapsed_seconds = lambda: 0.0
+    app.view = app.view.replace(marching_cubes_enabled=np.uint32(1))
+    img = app.run_on_device(2, tstep=0.0)
+    assert np.isfinite(np.asarray(img)).all()
+    assert app.graph.last_sanitizer_report == {}
+
+
 def test_loop_sanitize_counts_nonfinite():
     """Sanitize on the device loop (VERDICT r4 #7): per-(pass, resource)
     non-finite counts ride the scan carry and are summed over the N frames
